@@ -1,0 +1,177 @@
+"""Shared network blocks (flax.linen, channels-last).
+
+TPU layout note: everything is [batch, num_corr, channels] (channels last) so
+the 1x1 "convolutions" of the reference become Dense matmuls whose contraction
+axis (128 channels) lands exactly on the MXU lanes. The reference layout is
+[batch, channels, num_corr] with Conv1d(k=1); the two are mathematically
+identical (/root/reference/models/common.py:106-139, models/PointDSC.py:9-77).
+
+BatchNorm over the correspondence axis is replicated with *masked* statistics
+so padded correspondences do not pollute the mean/var (the reference instead
+clips batches to the minimum correspondence count, datasets/dataloader.py:6-31).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+_NEG_INF = -1e9
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d equivalent: per-channel stats over (batch, num_corr).
+
+    Matches torch.nn.BatchNorm1d semantics (momentum 0.1, eps 1e-5, affine)
+    with the addition of a validity mask; running stats live in the
+    `batch_stats` collection.
+    """
+
+    momentum: float = 0.9  # running = momentum * running + (1 - momentum) * new
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        # x: [B, N, C]; mask: [B, N] or None
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), self.dtype)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), self.dtype)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,), self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,), self.dtype)
+
+        if train:
+            if mask is None:
+                mean = jnp.mean(x, axis=(0, 1))
+                var = jnp.mean((x - mean) ** 2, axis=(0, 1))
+            else:
+                m = mask[..., None].astype(x.dtype)
+                count = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m, axis=(0, 1)) / count
+                var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / count
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class ContextNorm(nn.Module):
+    """Per-set (instance) normalization over the correspondence axis
+    (/root/reference/models/common.py:106-115). Parameter-free."""
+
+    epsilon: float = 1e-3
+
+    def __call__(self, x, mask=None):
+        if mask is None:
+            mean = jnp.mean(x, axis=-2, keepdims=True)
+            var = jnp.var(x, axis=-2, keepdims=True)
+        else:
+            m = mask[..., None].astype(x.dtype)
+            count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+            mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
+            var = jnp.sum(((x - mean) ** 2) * m, axis=-2, keepdims=True) / count
+        return (x - mean) / jnp.sqrt(var + self.epsilon)
+
+
+class PointCNLayer(nn.Module):
+    """Dense + BatchNorm + ReLU (one PointCN step, PointDSC.py:56-61)."""
+
+    num_channels: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        x = nn.Dense(self.num_channels, kernel_init=nn.initializers.xavier_normal())(x)
+        x = MaskedBatchNorm()(x, mask=mask, train=train)
+        return nn.relu(x)
+
+
+class NonLocalBlock(nn.Module):
+    """Spatial-consistency-modulated single-head attention block.
+
+    Mirrors /root/reference/models/PointDSC.py:9-45: QKV projections, logits
+    scaled by sqrt(C/heads) and *multiplied elementwise* by the spatial
+    consistency matrix before softmax, message MLP (C -> C/2 -> C/2 -> C with
+    BN+ReLU) and residual add.
+
+    The `attention_fn` hook lets callers swap the materialized O(N^2)
+    attention for the fused Pallas kernel at eval time.
+    """
+
+    num_channels: int = 128
+    num_heads: int = 1
+    attention_fn: Callable | None = None
+
+    @nn.compact
+    def __call__(self, feat, compat, mask=None, train: bool = False):
+        # feat: [B, N, C]; compat: [B, N, N] or None when attention_fn
+        # recomputes it on the fly.
+        c, h = self.num_channels, self.num_heads
+        xavier = nn.initializers.xavier_normal()
+        q = nn.Dense(c, kernel_init=xavier, name="projection_q")(feat)
+        k = nn.Dense(c, kernel_init=xavier, name="projection_k")(feat)
+        v = nn.Dense(c, kernel_init=xavier, name="projection_v")(feat)
+
+        if self.attention_fn is not None:
+            message = self.attention_fn(q, k, v, mask)
+        else:
+            b, n, _ = feat.shape
+            qh = q.reshape(b, n, h, c // h)
+            kh = k.reshape(b, n, h, c // h)
+            vh = v.reshape(b, n, h, c // h)
+            logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) / jnp.sqrt(
+                jnp.asarray(c // h, feat.dtype)
+            )
+            scores = compat[:, None, :, :] * logits
+            if mask is not None:
+                scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
+            weight = nn.softmax(scores, axis=-1)
+            message = jnp.einsum("bhnm,bmhd->bnhd", weight, vh).reshape(b, n, c)
+
+        message = nn.Dense(c // 2, kernel_init=xavier, name="fc_message_0")(message)
+        message = MaskedBatchNorm(name="fc_message_bn0")(message, mask=mask, train=train)
+        message = nn.relu(message)
+        message = nn.Dense(c // 2, kernel_init=xavier, name="fc_message_1")(message)
+        message = MaskedBatchNorm(name="fc_message_bn1")(message, mask=mask, train=train)
+        message = nn.relu(message)
+        message = nn.Dense(c, kernel_init=xavier, name="fc_message_2")(message)
+        return feat + message
+
+
+class NonLocalNet(nn.Module):
+    """Encoder: input lift + num_layers x (PointCN -> NonLocal) pairs
+    (/root/reference/models/PointDSC.py:48-77). The spatial-consistency
+    matrix is computed once by the caller and shared across layers."""
+
+    in_dim: int = 6
+    num_layers: int = 6
+    num_channels: int = 128
+    attention_fn: Callable | None = None
+
+    @nn.compact
+    def __call__(self, corr_feat, compat, mask=None, train: bool = False):
+        # corr_feat: [B, N, in_dim]
+        x = nn.Dense(
+            self.num_channels,
+            kernel_init=nn.initializers.xavier_normal(),
+            name="layer0",
+        )(corr_feat)
+        for i in range(self.num_layers):
+            x = PointCNLayer(self.num_channels, name=f"PointCN_layer_{i}")(
+                x, mask=mask, train=train
+            )
+            x = NonLocalBlock(
+                self.num_channels,
+                attention_fn=self.attention_fn,
+                name=f"NonLocal_layer_{i}",
+            )(x, compat, mask=mask, train=train)
+        return x

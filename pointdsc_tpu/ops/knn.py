@@ -1,0 +1,74 @@
+"""Pairwise distances and feature-space k-NN (masked, MXU-friendly).
+
+Replaces the reference brute-force knn (/root/reference/models/common.py:48-69).
+Distances are computed in matmul form (x.x + y.y - 2 x.y) so the O(N^2 C)
+work lands on the MXU instead of materializing [N, N, C] broadcasts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e9
+
+
+def pairwise_sq_dists(
+    x: jnp.ndarray, y: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Squared Euclidean distances [..., N, M] between x [..., N, C] and y.
+
+    Uses the matmul expansion; clamped at zero to absorb cancellation error.
+    """
+    if y is None:
+        y = x
+    inner = jnp.einsum("...nc,...mc->...nm", x, y)
+    xx = jnp.sum(x * x, axis=-1)
+    yy = jnp.sum(y * y, axis=-1)
+    sq = xx[..., :, None] + yy[..., None, :] - 2.0 * inner
+    return jnp.maximum(sq, 0.0)
+
+
+def pairwise_dists(x: jnp.ndarray, y: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Euclidean distances [..., N, M]."""
+    return jnp.sqrt(pairwise_sq_dists(x, y))
+
+
+def feature_knn(
+    feats: jnp.ndarray,
+    k: int,
+    ignore_self: bool = False,
+    normalized: bool = True,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Indices of the k nearest neighbors in feature space.
+
+    Mirrors the reference `knn` (/root/reference/models/common.py:48-69):
+    for L2-normalized features the distance is 2 - 2 x.y. `ignore_self`
+    removes the diagonal (the reference takes k+1 and drops the first column;
+    masking the diagonal to +inf is equivalent since self-distance is 0).
+
+    Args:
+        feats: [..., N, C] features.
+        k:     neighbor count (static).
+        mask:  optional [..., N] validity mask; invalid points never appear
+               as neighbors (their distance is +inf).
+
+    Returns:
+        [..., N, k] int32 neighbor indices.
+    """
+    inner = jnp.einsum("...nc,...mc->...nm", feats, feats)
+    if normalized:
+        dist = 2.0 - 2.0 * inner
+    else:
+        sq = jnp.sum(feats * feats, axis=-1)
+        dist = sq[..., :, None] + sq[..., None, :] - 2.0 * inner
+
+    n = feats.shape[-2]
+    if ignore_self:
+        dist = dist + jnp.eye(n, dtype=dist.dtype) * _BIG
+    if mask is not None:
+        dist = jnp.where(mask[..., None, :], dist, _BIG)
+
+    _, idx = jax.lax.top_k(-dist, k)
+    return idx

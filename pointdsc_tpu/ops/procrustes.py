@@ -1,0 +1,105 @@
+"""Batched weighted Procrustes, fully on device.
+
+The reference solves the weighted rigid fit with a host round-trip
+(`torch.svd(H.cpu())`, /root/reference/models/common.py:36-41) because
+batched 3x3 SVD was faster on CPU than cuSOLVER. On TPU we avoid the SVD
+entirely: Horn's quaternion method turns the problem into the leading
+eigenvector of a symmetric 4x4 matrix, which we solve with a fixed-sweep
+Jacobi eigensolver -- batched, branch-free, differentiable, no host traffic.
+
+Horn's method always returns a *proper* rotation, which coincides with the
+SVD + det-sign-fix construction used by the reference (the det fix picks the
+best proper rotation, exactly what the quaternion parameterization yields).
+
+Math recap (matching the reference conventions, common.py:7-45):
+  centroids   ca = sum(w a) / sum(w),  cb analogous
+  covariance  H = sum_i w_i (a_i - ca)(b_i - cb)^T          [3x3]
+  R maximizes tr(R H) over SO(3);  t = cb - R ca;  R maps src -> tgt.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pointdsc_tpu.ops.linalg import symeig4x4
+from pointdsc_tpu.ops.se3 import integrate_trans
+
+
+def _quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion [..., 4] (w, x, y, z) -> rotation matrix [..., 3, 3]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    R = jnp.stack(
+        [
+            jnp.stack([ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy)], axis=-1),
+            jnp.stack([2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx)], axis=-1),
+            jnp.stack([2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz], axis=-1),
+        ],
+        axis=-2,
+    )
+    return R
+
+
+def rotation_from_covariance(H: jnp.ndarray) -> jnp.ndarray:
+    """Optimal proper rotation R maximizing tr(R H), H = sum w a b^T [..., 3, 3].
+
+    Returns R with R @ a ~= b (src -> tgt). Horn (1987) quaternion method:
+    the optimal quaternion is the leading eigenvector of the symmetric 4x4
+    matrix N(H) below.
+    """
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+
+    N = jnp.stack(
+        [
+            jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], axis=-1),
+            jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], axis=-1),
+            jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], axis=-1),
+            jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], axis=-1),
+        ],
+        axis=-2,
+    )
+    _, V = symeig4x4(N)
+    q = V[..., :, -1]  # leading eigenvector (eigvals ascend)
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    return _quat_to_rot(q)
+
+
+def weighted_procrustes(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    weight_threshold: float = 0.0,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Weighted rigid fit src -> tgt. Returns [..., 4, 4] SE(3) transforms.
+
+    Semantics mirror the reference `rigid_transform_3d`
+    (/root/reference/models/common.py:7-45): weights below the threshold are
+    zeroed, centroids use sum(w)+eps, H = Am^T diag(w) Bm. Masked entries are
+    handled by simply passing zero weights.
+
+    Args:
+        src, tgt: [..., K, 3] point sets.
+        weights:  [..., K] nonnegative weights, or None for uniform.
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], dtype=src.dtype)
+    weights = jnp.where(weights < weight_threshold, 0.0, weights)
+
+    wsum = jnp.sum(weights, axis=-1, keepdims=True) + eps  # [..., 1]
+    centroid_src = jnp.sum(src * weights[..., None], axis=-2) / wsum
+    centroid_tgt = jnp.sum(tgt * weights[..., None], axis=-2) / wsum
+
+    src_c = src - centroid_src[..., None, :]
+    tgt_c = tgt - centroid_tgt[..., None, :]
+
+    # H = sum_k w_k src_c_k tgt_c_k^T  ->  [..., 3, 3]
+    H = jnp.einsum("...ki,...k,...kj->...ij", src_c, weights, tgt_c)
+
+    R = rotation_from_covariance(H)
+    t = centroid_tgt - jnp.einsum("...ij,...j->...i", R, centroid_src)
+    return integrate_trans(R, t)
