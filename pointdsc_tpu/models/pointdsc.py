@@ -234,7 +234,7 @@ class PointDSC(nn.Module):
             warped = transform(src_keypts, trans)
             dist = jnp.linalg.norm(warped - tgt_keypts, axis=-1)  # [B, N]
             inlier = (dist < thr) & mask
-            num = jnp.sum(inlier, axis=-1)
+            num = jnp.sum(inlier, axis=-1).astype(jnp.int32)
             changed = jnp.abs(num - prev_num) >= 1
             w = inlier.astype(dist.dtype) / (1.0 + (dist / thr) ** 2)
             new_trans = weighted_procrustes(src_keypts, tgt_keypts, w)
