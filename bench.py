@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Flagship benchmark: end-to-end PointDSC inference on one TPU chip.
+
+Measures per-pair latency of the full testing-mode pipeline (spatial
+consistency, 12-layer SC-attention encoder, NMS seeds, NSM, Procrustes
+hypotheses, post-refinement) at 5000 correspondences -- the 3DMatch 'all'
+eval regime (BASELINE.md: eval correspondence counts ~5k).
+
+Baseline: the reference paper reports ~0.09 s per pair model time on GPU
+(BASELINE.md "Per-pair model time"). vs_baseline = baseline / ours, so > 1
+means faster than the reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_CORR = 5000
+NUM_LAYERS = 12
+NUM_CHANNELS = 128
+WARMUP = 2
+ITERS = 10
+BASELINE_SEC_PER_PAIR = 0.09
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pointdsc_tpu.data.synthetic import SyntheticPairDataset
+    from pointdsc_tpu.models.pointdsc import PointDSC
+
+    model = PointDSC(
+        in_dim=6,
+        num_layers=NUM_LAYERS,
+        num_channels=NUM_CHANNELS,
+        k=40,
+        ratio=0.1,
+        inlier_threshold=0.10,
+        sigma_d=0.10,
+        nms_radius=0.10,
+    )
+    ds = SyntheticPairDataset(
+        num_pairs=ITERS + WARMUP, num_corr=N_CORR, inlier_ratio=0.3, seed=7
+    )
+
+    samples = [ds[i] for i in range(ITERS + WARMUP)]
+    batches = [
+        (
+            jnp.asarray(s["corr_pos"])[None],
+            jnp.asarray(s["src_keypts"])[None],
+            jnp.asarray(s["tgt_keypts"])[None],
+        )
+        for s in samples
+    ]
+
+    variables = model.init(jax.random.key(0), *batches[0])
+
+    @jax.jit
+    def forward(corr_pos, src, tgt):
+        out = model.apply(variables, corr_pos, src, tgt, testing=True)
+        return out.final_trans, out.final_labels
+
+    # warmup / compile
+    for i in range(WARMUP):
+        jax.block_until_ready(forward(*batches[i]))
+
+    times = []
+    for i in range(WARMUP, WARMUP + ITERS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(forward(*batches[i]))
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.median(times))
+    pairs_per_sec = 1.0 / p50
+    print(
+        json.dumps(
+            {
+                "metric": "pointdsc_e2e_pair_latency_p50_n5000",
+                "value": round(p50 * 1000, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_SEC_PER_PAIR / p50, 3),
+                "pairs_per_sec": round(pairs_per_sec, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Generic pair-wise evaluation loop (the engine behind test_3DMatch etc.).
+
+Replaces the per-scene eval loops of /root/reference/evaluation/
+test_3DMatch.py:20-137. Each pair is padded to a shape bucket and run through
+a jitted testing-mode forward; one compilation per bucket, then every pair at
+that size reuses the executable. Model time is measured with
+`block_until_ready` so it reflects device execution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointdsc_tpu.data.pipeline import bucket_size, pad_to_bucket
+from pointdsc_tpu.eval.protocol import aggregate_stats, pair_stats
+from pointdsc_tpu.models.pointdsc import PointDSC
+from pointdsc_tpu.utils.timer import Timer
+
+
+class Evaluator:
+    def __init__(self, model: PointDSC, variables: dict, re_thre=15.0, te_thre=30.0):
+        self.model = model
+        self.variables = variables
+        self.re_thre = re_thre
+        self.te_thre = te_thre
+
+        @jax.jit
+        def _forward(corr_pos, src_keypts, tgt_keypts, mask):
+            out = model.apply(
+                variables, corr_pos, src_keypts, tgt_keypts, mask=mask, testing=True
+            )
+            return out.final_trans, out.final_labels
+
+        self._forward = _forward
+
+    def run_pair(self, sample: dict, scene_ind: int = 0, data_time: float = 0.0):
+        """sample: un-padded dict from a dataset; returns a 12-col stats row."""
+        n = sample["corr_pos"].shape[0]
+        padded = pad_to_bucket(sample)
+
+        t = Timer()
+        t.tic()
+        trans, labels = self._forward(
+            jnp.asarray(padded["corr_pos"])[None],
+            jnp.asarray(padded["src_keypts"])[None],
+            jnp.asarray(padded["tgt_keypts"])[None],
+            jnp.asarray(padded["mask"])[None],
+        )
+        model_time = t.toc(average=False, block_on=trans)
+
+        trans = np.asarray(trans)[0]
+        labels = np.asarray(labels)[0][:n]
+        return (
+            pair_stats(
+                trans,
+                labels,
+                sample["gt_trans"],
+                sample["gt_labels"],
+                self.re_thre,
+                self.te_thre,
+                model_time,
+                data_time,
+                scene_ind,
+            ),
+            trans,
+        )
+
+    def run_dataset(self, dataset, scene_of=None, verbose=True):
+        """Evaluate every pair; `scene_of(i)` maps index -> scene id."""
+        rows = []
+        timer = Timer()
+        for i in range(len(dataset)):
+            timer.tic()
+            sample = dataset[i]
+            data_time = timer.toc(average=False)
+            scene = scene_of(i) if scene_of else 0
+            row, _ = self.run_pair(sample, scene_ind=scene, data_time=data_time)
+            rows.append(row)
+            if verbose and (i + 1) % 100 == 0:
+                print(f"[{i + 1}/{len(dataset)}] pairs evaluated")
+        stats = np.stack(rows, axis=0)
+        return stats, aggregate_stats(stats)

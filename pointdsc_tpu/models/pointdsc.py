@@ -96,9 +96,9 @@ class PointDSC(nn.Module):
             name="encoder",
         )
         corr_features = encoder(corr_pos, compat, mask=mask, train=train)
-        normed_features = corr_features / (
-            jnp.linalg.norm(corr_features, axis=-1, keepdims=True) + 1e-12
-        )
+        # safe L2 normalize (finite gradient even for a zero feature vector)
+        feat_sq = jnp.sum(corr_features * corr_features, axis=-1, keepdims=True)
+        normed_features = corr_features / jnp.sqrt(feat_sq + 1e-12)
 
         # ---- Feature-similarity matrix M (training only; SM-loss target).
         M = None if testing else feature_similarity(normed_features, sigma, mask=mask)

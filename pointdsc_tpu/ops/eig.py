@@ -30,7 +30,10 @@ def power_iteration(
 
     def body(_, v):
         v = M @ v
-        norm = jnp.linalg.norm(v, axis=-2, keepdims=True)
+        # sqrt(sum + tiny) keeps the gradient finite when M is all-zero
+        # (e.g. a fully-outlier seed neighborhood): jnp.linalg.norm has a
+        # NaN gradient at exactly 0.
+        norm = jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True) + 1e-30)
         return v / (norm + eps)
 
     v = jax.lax.fori_loop(0, num_iters, body, v0)

@@ -27,18 +27,20 @@ def _jacobi_rotation_pair(A: jnp.ndarray, V: jnp.ndarray, p: int, q: int):
     aqq = A[..., q, q]
     apq = A[..., p, q]
 
-    # tau = (aqq - app) / (2 apq); t is the smaller-magnitude root of
-    # t^2 + 2 tau t - 1 = 0:  t = sign(tau) / (|tau| + sqrt(1 + tau^2)),
-    # with the tau -> 0 limit t = 1. tau is clipped so tau^2 can never
-    # overflow (in f32 or emulated f64) -- beyond |tau| ~ 1e8 the rotation
-    # is numerically identity anyway. All branches stay finite, which keeps
-    # gradients NaN-free (the "double where" discipline).
-    small = jnp.abs(apq) < 1e-30
-    safe_apq = jnp.where(small, 1.0, apq)
-    tau = jnp.clip((aqq - app) / (2.0 * safe_apq), -1e8, 1e8)
-    sgn = jnp.where(tau == 0.0, 1.0, jnp.sign(tau))
-    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-    t = jnp.where(small, 0.0, t)
+    # t = tan(theta) is the smaller-magnitude root of t^2 + 2 tau t - 1 = 0
+    # with tau = (aqq - app) / (2 apq). The textbook form
+    # sign(tau)/(|tau| + sqrt(1 + tau^2)) divides by apq, whose square
+    # underflows in f32 and poisons the backward pass with 0 * inf = NaN.
+    # Multiplying through by 2|apq| gives the equivalent, division-safe
+    #     t = 2 apq sign(d) / (|d| + hypot(2 apq, d)),   d = aqq - app,
+    # which is smooth, bounded (|t| <= 1), never divides by a vanishing
+    # quantity (the tiny additive term bounds the denominator away from 0),
+    # and naturally yields t = 0 when apq = 0 and t = +-1 (45 degrees) when
+    # d = 0. Gradients are finite everywhere.
+    d = aqq - app
+    sgn_d = jnp.where(d >= 0, 1.0, -1.0)
+    hyp = jnp.sqrt(4.0 * apq * apq + d * d + 1e-36)
+    t = 2.0 * apq * sgn_d / (jnp.abs(d) + hyp)
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
 
