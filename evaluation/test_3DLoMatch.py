@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""3DLoMatch benchmark CLI (parity with /root/reference/evaluation/
+test_3DLoMatch.py): 1781 low-overlap pairs, fcgf or predator descriptors.
+
+Reports the DGR-style registration recall; the Redwood-protocol RR
+(covariance-weighted RMSE vs gt.info) is provided by
+pointdsc_tpu.eval.redwood_protocol when gt files are present.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def str2bool(v):
+    return str(v).lower() in ("true", "1")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chosen_snapshot", default="", type=str)
+    parser.add_argument("--num_corr", default=5000, type=int)
+    parser.add_argument("--save_npy", default=False, type=str2bool)
+    parser.add_argument("--root", default="", type=str)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from pointdsc_tpu.data.threedmatch import ThreeDLoMatchTest
+    from pointdsc_tpu.eval.protocol import format_scene_report
+    from pointdsc_tpu.eval.runner import Evaluator
+    from pointdsc_tpu.models import PointDSC
+    from pointdsc_tpu.train.config import Config
+    from pointdsc_tpu.train.trainer import load_model_weights
+    from pointdsc_tpu.utils.seed import set_seed
+
+    cfg = Config.load(f"snapshot/{args.chosen_snapshot}/config.json")
+    if args.root:
+        cfg.root = args.root
+    set_seed(cfg.seed)
+
+    model = PointDSC(
+        in_dim=cfg.in_dim,
+        num_layers=cfg.num_layers,
+        num_channels=cfg.num_channels,
+        num_iterations=cfg.num_iterations,
+        ratio=cfg.ratio,
+        sigma_d=cfg.sigma_d,
+        k=cfg.k,
+        inlier_threshold=cfg.inlier_threshold,
+        nms_radius=cfg.inlier_threshold,
+    )
+    dataset = ThreeDLoMatchTest(
+        root=cfg.root,
+        descriptor=cfg.descriptor,
+        in_dim=cfg.in_dim,
+        inlier_threshold=cfg.inlier_threshold,
+        num_node=args.num_corr,
+        use_mutual=cfg.use_mutual,
+    )
+    example = dataset[0]
+    variables = load_model_weights(
+        model,
+        f"snapshot/{args.chosen_snapshot}/models/model_best.pkl",
+        (
+            jnp.asarray(example["corr_pos"])[None],
+            jnp.asarray(example["src_keypts"])[None],
+            jnp.asarray(example["tgt_keypts"])[None],
+        ),
+    )
+    evaluator = Evaluator(model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre)
+    stats, agg = evaluator.run_dataset(dataset)
+    print(format_scene_report(agg))
+
+    os.makedirs("logs", exist_ok=True)
+    log_path = f"logs/{args.chosen_snapshot}-3DLoMatch-{cfg.descriptor}.log"
+    with open(log_path, "a") as f:
+        f.write(format_scene_report(agg) + "\n")
+    if args.save_npy:
+        np.save(log_path.replace(".log", ".npy"), stats)
+    return stats, agg
+
+
+if __name__ == "__main__":
+    main()

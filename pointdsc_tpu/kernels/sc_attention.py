@@ -1,0 +1,229 @@
+"""Fused spatial-consistency-modulated attention (Pallas TPU kernel).
+
+The reference materializes the full [N, N] spatial-consistency matrix once
+and feeds it to every attention layer (/root/reference/models/PointDSC.py:
+150-155, 36-44). At eval-time correspondence counts (N = 12k KITTI, 20k
+Redwood) a single f32 N^2 matrix is 0.6-1.6 GB of HBM and each attention
+layer streams it again -- attention becomes HBM-bandwidth-bound.
+
+This kernel is the flash-attention analog for SC-modulated attention: it
+tiles queries x keys, *recomputes the compatibility tile in VMEM from the
+3+3 coordinates* (a [3, N] strip instead of an [N, N] matrix), multiplies it
+into the QK logits, and runs an online-softmax accumulation. Nothing O(N^2)
+ever touches HBM.
+
+Per (qi, kj) tile:
+    d_src = pairwise_dist(src_q, src_k)         (matmul form, MXU)
+    compat = clip(1 - (d_src - d_tgt)^2 / sigma_d^2, 0)
+    s = compat * (q k^T / sqrt(C)) + key_bias   (bias = -1e9 for padding)
+    online softmax over kj with running (max, sumexp, acc)
+
+Geometry is packed as one [16, N] f32 strip (see pack_geometry) so every
+input obeys TPU tiling (last dim = lanes, 16 sublanes).
+
+Forward-only: used on the inference path (`testing=True`). Training uses the
+jnp encoder at N ~ 1000 where the dense path is already MXU-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+
+
+def pack_geometry(src, tgt, mask=None):
+    """Pack coordinates into the [16, N] strip the kernel consumes.
+
+    rows 0-2 src xyz, row 3 |src|^2, rows 4-6 tgt xyz, row 7 |tgt|^2,
+    row 8 key bias (0 valid / -1e9 invalid), rows 9-15 zeros.
+
+    Args:
+        src, tgt: [N, 3]; mask: [N] bool or None.
+    Returns: [16, N] f32.
+    """
+    n = src.shape[0]
+    src_t = src.T.astype(jnp.float32)
+    tgt_t = tgt.T.astype(jnp.float32)
+    src_sq = jnp.sum(src * src, axis=-1)[None].astype(jnp.float32)
+    tgt_sq = jnp.sum(tgt * tgt, axis=-1)[None].astype(jnp.float32)
+    if mask is None:
+        bias = jnp.zeros((1, n), jnp.float32)
+    else:
+        bias = jnp.where(mask[None], 0.0, _NEG).astype(jnp.float32)
+    zeros = jnp.zeros((7, n), jnp.float32)
+    return jnp.concatenate([src_t, src_sq, tgt_t, tgt_sq, bias, zeros], axis=0)
+
+
+def _sc_attention_kernel(
+    sigma_ref,  # SMEM (1, 1): sigma_d
+    q_ref,  # VMEM (TQ, C)
+    k_ref,  # VMEM (TK, C)
+    v_ref,  # VMEM (TK, C)
+    geom_q_ref,  # VMEM (16, TQ)
+    geom_k_ref,  # VMEM (16, TK)
+    out_ref,  # VMEM (TQ, C)
+    m_scr,  # VMEM (TQ, 128) running max (col 0 used, 128 for tiling)
+    l_scr,  # VMEM (TQ, 128) running sumexp
+    acc_scr,  # VMEM (TQ, C) weighted-value accumulator
+):
+    kj = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    f32 = jnp.float32
+    sigma_d = sigma_ref[0, 0]
+
+    # --- compatibility tile from coordinates (recomputed in VMEM) ---------
+    gq = geom_q_ref[:]  # (16, TQ)
+    gk = geom_k_ref[:]  # (16, TK)
+    src_q, src_k = gq[0:3, :], gk[0:3, :]  # (3, T)
+    tgt_q, tgt_k = gq[4:7, :], gk[4:7, :]
+    sq_src_q = gq[3:4, :]  # (1, TQ)
+    sq_src_k = gk[3:4, :]
+    sq_tgt_q = gq[7:8, :]
+    sq_tgt_k = gk[7:8, :]
+    bias_k = gk[8:9, :]  # (1, TK)
+
+    # d^2 = |a|^2 + |b|^2 - 2 a.b  via (TQ,3)x(3,TK) matmul
+    inner_src = jax.lax.dot_general(
+        src_q, src_k, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (TQ, TK)
+    inner_tgt = jax.lax.dot_general(
+        tgt_q, tgt_k, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    d_src = jnp.sqrt(
+        jnp.maximum(sq_src_q.T + sq_src_k - 2.0 * inner_src, 0.0)
+    )
+    d_tgt = jnp.sqrt(
+        jnp.maximum(sq_tgt_q.T + sq_tgt_k - 2.0 * inner_tgt, 0.0)
+    )
+    diff = d_src - d_tgt
+    compat = jnp.maximum(1.0 - diff * diff / (sigma_d * sigma_d), 0.0)
+
+    # --- SC-modulated logits ---------------------------------------------
+    c = q_ref.shape[-1]
+    logits = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * (1.0 / (c**0.5))
+    s = compat * logits + bias_k  # (TQ, TK)
+
+    # --- online softmax ---------------------------------------------------
+    m_prev = m_scr[:, 0:1]  # (TQ, 1)
+    l_prev = l_scr[:, 0:1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # (TQ, TK)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+    @pl.when(kj == pl.num_programs(1) - 1)
+    def _finalize():
+        out_ref[:] = acc_scr[:] / (l_scr[:, 0:1] + 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def _fused_sc_attention_single(
+    q, k, v, geom, sigma_d, block_q=256, block_k=512, interpret=False
+):
+    n, c = q.shape
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    assert n % block_q == 0 and n % block_k == 0, (
+        f"N={n} must be a multiple of block sizes ({block_q}, {block_k}); "
+        "pad via pointdsc_tpu.data.pipeline.bucket_size"
+    )
+    grid = (n // block_q, n // block_k)
+
+    sigma = jnp.asarray(sigma_d, jnp.float32).reshape(1, 1)
+
+    return pl.pallas_call(
+        _sc_attention_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_q, c), lambda qi, kj: (qi, 0)),
+                pl.BlockSpec((block_k, c), lambda qi, kj: (kj, 0)),
+                pl.BlockSpec((block_k, c), lambda qi, kj: (kj, 0)),
+                pl.BlockSpec((16, block_q), lambda qi, kj: (0, qi)),
+                pl.BlockSpec((16, block_k), lambda qi, kj: (0, kj)),
+            ],
+            out_specs=pl.BlockSpec((block_q, c), lambda qi, kj: (qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, c), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        interpret=interpret,
+    )(sigma, q, k, v, geom)
+
+
+def fused_sc_attention(
+    q, k, v, src, tgt, sigma_d, mask=None, block_q=256, block_k=512, interpret=None
+):
+    """Batched fused SC attention.
+
+    Args:
+        q, k, v: [B, N, C] projections.
+        src, tgt: [B, N, 3] keypoints.
+        sigma_d: scalar bandwidth.
+        mask: [B, N] bool or None.
+        interpret: force Pallas interpret mode (default: auto -- interpret
+            everywhere except on real TPU backends).
+
+    Returns: [B, N, C] attention messages (pre message-MLP).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    geom = jax.vmap(pack_geometry)(src, tgt, mask) if mask is not None else jax.vmap(
+        lambda s, t: pack_geometry(s, t, None)
+    )(src, tgt)
+
+    fn = functools.partial(
+        _fused_sc_attention_single,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )
+    return jax.vmap(lambda qq, kk, vv, gg: fn(qq, kk, vv, gg, sigma_d))(
+        q, k, v, geom
+    )
+
+
+def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=256, block_k=512,
+                         interpret=None):
+    """Adapter producing the `attention_fn(q, k, v, mask)` hook consumed by
+    NonLocalBlock: closes over the pair geometry so each of the 12 layers
+    recomputes compatibility tiles on the fly instead of reading a shared
+    [N, N] matrix from HBM."""
+
+    def attention_fn(q, k, v, inner_mask):
+        del inner_mask  # already encoded in the geometry bias row
+        return fused_sc_attention(
+            q, k, v, src, tgt, sigma_d, mask=mask,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+
+    return attention_fn
