@@ -3,14 +3,15 @@
 
 Measures per-pair latency of the full testing-mode pipeline (spatial
 consistency, 12-layer SC-attention encoder, NMS seeds, NSM, Procrustes
-hypotheses, post-refinement) at 5000 correspondences -- the 3DMatch 'all'
-eval regime (BASELINE.md: eval correspondence counts ~5k).
+hypotheses, post-refinement) at ~5000 correspondences -- the 3DMatch 'all'
+eval regime (BASELINE.md: eval correspondence counts ~5k). Runs both the
+dense-compat path and the fused Pallas-attention path and reports the faster.
 
 Baseline: the reference paper reports ~0.09 s per pair model time on GPU
 (BASELINE.md "Per-pair model time"). vs_baseline = baseline / ours, so > 1
 means faster than the reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -18,12 +19,25 @@ import time
 
 import numpy as np
 
-N_CORR = 5000
+N_CORR = 5120  # bucket for the 3DMatch 'all' (~5k) regime
 NUM_LAYERS = 12
 NUM_CHANNELS = 128
 WARMUP = 2
 ITERS = 10
 BASELINE_SEC_PER_PAIR = 0.09
+
+
+def bench_variant(forward, batches):
+    import jax
+
+    for i in range(WARMUP):
+        jax.block_until_ready(forward(*batches[i]))
+    times = []
+    for i in range(WARMUP, WARMUP + ITERS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(forward(*batches[i]))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def main():
@@ -46,44 +60,48 @@ def main():
     ds = SyntheticPairDataset(
         num_pairs=ITERS + WARMUP, num_corr=N_CORR, inlier_ratio=0.3, seed=7
     )
-
-    samples = [ds[i] for i in range(ITERS + WARMUP)]
-    batches = [
-        (
-            jnp.asarray(s["corr_pos"])[None],
-            jnp.asarray(s["src_keypts"])[None],
-            jnp.asarray(s["tgt_keypts"])[None],
+    batches = []
+    for i in range(ITERS + WARMUP):
+        s = ds[i]
+        batches.append(
+            (
+                jnp.asarray(s["corr_pos"])[None],
+                jnp.asarray(s["src_keypts"])[None],
+                jnp.asarray(s["tgt_keypts"])[None],
+            )
         )
-        for s in samples
-    ]
 
     variables = model.init(jax.random.key(0), *batches[0])
+    on_tpu = jax.default_backend() == "tpu"
 
     @jax.jit
-    def forward(corr_pos, src, tgt):
+    def forward_dense(corr_pos, src, tgt):
         out = model.apply(variables, corr_pos, src, tgt, testing=True)
         return out.final_trans, out.final_labels
 
-    # warmup / compile
-    for i in range(WARMUP):
-        jax.block_until_ready(forward(*batches[i]))
+    @jax.jit
+    def forward_fused(corr_pos, src, tgt):
+        out = model.apply(
+            variables, corr_pos, src, tgt, testing=True, fused_attention=True
+        )
+        return out.final_trans, out.final_labels
 
-    times = []
-    for i in range(WARMUP, WARMUP + ITERS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(forward(*batches[i]))
-        times.append(time.perf_counter() - t0)
+    p50_dense = bench_variant(forward_dense, batches)
+    p50_fused = bench_variant(forward_fused, batches) if on_tpu else float("inf")
 
-    p50 = float(np.median(times))
-    pairs_per_sec = 1.0 / p50
+    variant = "fused" if p50_fused < p50_dense else "dense"
+    p50 = min(p50_dense, p50_fused)
     print(
         json.dumps(
             {
-                "metric": "pointdsc_e2e_pair_latency_p50_n5000",
+                "metric": "pointdsc_e2e_pair_latency_p50_n5k",
                 "value": round(p50 * 1000, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_SEC_PER_PAIR / p50, 3),
-                "pairs_per_sec": round(pairs_per_sec, 2),
+                "pairs_per_sec": round(1.0 / p50, 2),
+                "variant": variant,
+                "dense_ms": round(p50_dense * 1000, 3),
+                "fused_ms": round(p50_fused * 1000, 3) if on_tpu else None,
                 "device": str(jax.devices()[0]),
             }
         )

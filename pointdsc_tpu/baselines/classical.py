@@ -1,0 +1,154 @@
+"""Classical registration baselines, TPU-native where it counts.
+
+Rebuilds /root/reference/baseline_scripts/baseline_3DMatch.py:19-123,176-193
+(SM, RANSAC, LS, PMC) under the identical stats protocol, so harness
+regressions stay visible across methods (SURVEY.md section 4).
+
+Key departure: RANSAC is not an Open3D C++ call but an on-device vmapped
+hypothesis sweep -- thousands of minimal 3-point Procrustes fits, inlier
+counting, argmax and a final weighted re-fit, all inside one jitted XLA
+program. PMC keeps its native-C++ exact max-clique core
+(pointdsc_tpu/native), matching the reference's libpmc.so design.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointdsc_tpu.ops.eig import power_iteration
+from pointdsc_tpu.ops.knn import pairwise_dists
+from pointdsc_tpu.ops.procrustes import weighted_procrustes
+from pointdsc_tpu.ops.se3 import transform
+
+
+@partial(jax.jit, static_argnames=("top_ratio", "num_iters"))
+def spectral_matching(
+    src_keypts: jnp.ndarray,  # [B, N, 3]
+    tgt_keypts: jnp.ndarray,
+    inlier_threshold: float = 0.10,
+    top_ratio: float = 0.1,
+    num_iters: int = 10,
+):
+    """Classical spectral matching (Leordeanu & Hebert) with the reference's
+    polynomial compatibility (baseline_3DMatch.py:35-38):
+    M = max(0, 4.5 - d^2 / (2 sigma^2)), sigma = tau/3, zero diagonal.
+    Top-(ratio N) entries of the leading eigenvector are inliers; transform =
+    weighted Procrustes with eigenvector-weighted labels."""
+    n = src_keypts.shape[1]
+    d = pairwise_dists(src_keypts) - pairwise_dists(tgt_keypts)
+    sigma = inlier_threshold / 3.0
+    M = jnp.maximum(0.0, 4.5 - d * d / (2.0 * sigma * sigma))
+    M = M * (1.0 - jnp.eye(n, dtype=M.dtype))
+
+    leading = power_iteration(M, num_iters)  # [B, N]
+    k = max(1, int(n * top_ratio))
+    b = leading.shape[0]
+    _, ids = jax.lax.top_k(leading, k)
+    pred_labels = (
+        jnp.zeros_like(leading).at[jnp.arange(b)[:, None], ids].set(1.0)
+    )
+    trans = weighted_procrustes(src_keypts, tgt_keypts, leading * pred_labels)
+    return trans, pred_labels
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "refit_iters"))
+def ransac_registration(
+    src_keypts: jnp.ndarray,  # [B, N, 3]
+    tgt_keypts: jnp.ndarray,
+    key: jax.Array,
+    inlier_threshold: float = 0.10,
+    num_hypotheses: int = 4096,
+    refit_iters: int = 3,
+    mask: jnp.ndarray | None = None,
+):
+    """Correspondence-based RANSAC as one XLA program.
+
+    Replaces the reference's Open3D host call (baseline_3DMatch.py:80-98):
+    `num_hypotheses` minimal 3-point samples are drawn at once, their rigid
+    fits computed by the batched Horn solver, inliers counted by one einsum,
+    and the winner re-fit on its inliers (`refit_iters` rounds).
+    """
+    b, n, _ = src_keypts.shape
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+
+    idx = jax.random.randint(key, (b, num_hypotheses, 3), 0, n)
+    gather = jax.vmap(lambda pts, ii: pts[ii])  # [B, H, 3(pts), 3(coord)]
+    src_min = gather(src_keypts, idx)
+    tgt_min = gather(tgt_keypts, idx)
+
+    hyp = weighted_procrustes(src_min, tgt_min)  # [B, H, 4, 4]
+
+    pred = jnp.einsum("bhij,bnj->bhni", hyp[..., :3, :3], src_keypts) + hyp[
+        ..., None, :3, 3
+    ]
+    dist = jnp.linalg.norm(pred - tgt_keypts[:, None], axis=-1)  # [B, H, N]
+    inlier = (dist < inlier_threshold) & mask[:, None]
+    fitness = jnp.sum(inlier, axis=-1)  # [B, H]
+    best = jnp.argmax(fitness, axis=-1)
+
+    trans = jnp.take_along_axis(hyp, best[:, None, None, None], axis=1)[:, 0]
+
+    def refit(trans, _):
+        warped = transform(src_keypts, trans)
+        d = jnp.linalg.norm(warped - tgt_keypts, axis=-1)
+        w = ((d < inlier_threshold) & mask).astype(jnp.float32)
+        return weighted_procrustes(src_keypts, tgt_keypts, w), None
+
+    trans, _ = jax.lax.scan(refit, trans, None, length=refit_iters)
+    warped = transform(src_keypts, trans)
+    labels = (
+        (jnp.linalg.norm(warped - tgt_keypts, axis=-1) < inlier_threshold) & mask
+    ).astype(jnp.float32)
+    return trans, labels
+
+
+@jax.jit
+def least_squares_fit(
+    src_keypts: jnp.ndarray, tgt_keypts: jnp.ndarray, gt_labels: jnp.ndarray
+):
+    """Diagnostic LS baseline on gt inliers (baseline_3DMatch.py:176-193):
+    unconstrained affine fit B ~ T A in homogeneous coordinates via
+    pseudo-inverse (not restricted to SE(3))."""
+    w = gt_labels.astype(src_keypts.dtype)
+    ones = jnp.ones_like(src_keypts[..., :1])
+    A = jnp.concatenate([src_keypts, ones], axis=-1) * w[..., None]  # [B, N, 4]
+    B = jnp.concatenate([tgt_keypts, ones], axis=-1) * w[..., None]
+    # T = B^T pinv(A^T) computed via normal equations with ridge for stability
+    AtA = jnp.einsum("bni,bnj->bij", A, A) + 1e-6 * jnp.eye(4)
+    AtB = jnp.einsum("bni,bnj->bij", A, B)
+    T = jnp.linalg.solve(AtA, AtB).swapaxes(-1, -2)
+    return T, gt_labels
+
+
+def pmc_registration(
+    src_keypts: np.ndarray,  # [N, 3] single pair, host side
+    tgt_keypts: np.ndarray,
+    inlier_threshold: float = 0.10,
+):
+    """Max-clique registration (baseline PMC, baseline_3DMatch.py:56-77):
+    vertices = correspondences, edges where the length difference
+    |d_src - d_tgt| < tau; exact maximum clique via the native C++ solver;
+    transform = Procrustes on the clique members."""
+    from pointdsc_tpu.native import max_clique
+
+    n = src_keypts.shape[0]
+    d = np.linalg.norm(
+        src_keypts[:, None] - src_keypts[None], axis=-1
+    ) - np.linalg.norm(tgt_keypts[:, None] - tgt_keypts[None], axis=-1)
+    compat = np.abs(d) < inlier_threshold
+    iu, ju = np.nonzero(np.triu(compat, 1))
+    clique = max_clique(iu.astype(np.int32), ju.astype(np.int32), n)
+
+    labels = np.zeros(n, dtype=np.float32)
+    labels[clique] = 1.0
+    trans = weighted_procrustes(
+        jnp.asarray(src_keypts)[None],
+        jnp.asarray(tgt_keypts)[None],
+        jnp.asarray(labels)[None],
+    )
+    return np.asarray(trans)[0], labels

@@ -102,7 +102,9 @@ def make_corr_pos(input_src, input_tgt, in_dim, src_desc=None, tgt_desc=None):
 
 
 # ----------------------------------------------------------------------
-_BUCKETS = (256, 512, 1024, 2048, 4096, 5000, 6144, 8192, 12000, 16384, 20000, 24576)
+# Bucket sizes are multiples of 512 (above 512) so the fused attention
+# kernel's (block_q=256, block_k=512) tiling always divides N evenly.
+_BUCKETS = (256, 512, 1024, 2048, 4096, 5120, 6144, 8192, 12288, 16384, 20480, 24576)
 
 
 def bucket_size(n: int, buckets: Sequence[int] = _BUCKETS) -> int:

@@ -161,13 +161,14 @@ def _fused_sc_attention_single(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_q, c), lambda qi, kj: (qi, 0)),
-                pl.BlockSpec((block_k, c), lambda qi, kj: (kj, 0)),
-                pl.BlockSpec((block_k, c), lambda qi, kj: (kj, 0)),
-                pl.BlockSpec((16, block_q), lambda qi, kj: (0, qi)),
-                pl.BlockSpec((16, block_k), lambda qi, kj: (0, kj)),
+                # index maps receive the scalar-prefetch ref as a trailing arg
+                pl.BlockSpec((block_q, c), lambda qi, kj, *_: (qi, 0)),
+                pl.BlockSpec((block_k, c), lambda qi, kj, *_: (kj, 0)),
+                pl.BlockSpec((block_k, c), lambda qi, kj, *_: (kj, 0)),
+                pl.BlockSpec((16, block_q), lambda qi, kj, *_: (0, qi)),
+                pl.BlockSpec((16, block_k), lambda qi, kj, *_: (0, kj)),
             ],
-            out_specs=pl.BlockSpec((block_q, c), lambda qi, kj: (qi, 0)),
+            out_specs=pl.BlockSpec((block_q, c), lambda qi, kj, *_: (qi, 0)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -176,7 +177,7 @@ def _fused_sc_attention_single(
         ),
         out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
         interpret=interpret,
-    )(sigma, q, k, v, geom)
+    )(sigma, q, k, v, geom, geom)  # geom twice: query strip + key strip views
 
 
 def fused_sc_attention(

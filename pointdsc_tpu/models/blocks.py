@@ -112,17 +112,18 @@ class NonLocalBlock(nn.Module):
     attention_fn: Callable | None = None
 
     @nn.compact
-    def __call__(self, feat, compat, mask=None, train: bool = False):
+    def __call__(self, feat, compat, mask=None, train: bool = False, attention_fn=None):
         # feat: [B, N, C]; compat: [B, N, N] or None when attention_fn
         # recomputes it on the fly.
+        attention_fn = attention_fn or self.attention_fn
         c, h = self.num_channels, self.num_heads
         xavier = nn.initializers.xavier_normal()
         q = nn.Dense(c, kernel_init=xavier, name="projection_q")(feat)
         k = nn.Dense(c, kernel_init=xavier, name="projection_k")(feat)
         v = nn.Dense(c, kernel_init=xavier, name="projection_v")(feat)
 
-        if self.attention_fn is not None:
-            message = self.attention_fn(q, k, v, mask)
+        if attention_fn is not None:
+            message = attention_fn(q, k, v, mask)
         else:
             b, n, _ = feat.shape
             qh = q.reshape(b, n, h, c // h)
@@ -158,7 +159,9 @@ class NonLocalNet(nn.Module):
     attention_fn: Callable | None = None
 
     @nn.compact
-    def __call__(self, corr_feat, compat, mask=None, train: bool = False):
+    def __call__(
+        self, corr_feat, compat, mask=None, train: bool = False, attention_fn=None
+    ):
         # corr_feat: [B, N, in_dim]
         x = nn.Dense(
             self.num_channels,
@@ -173,5 +176,5 @@ class NonLocalNet(nn.Module):
                 self.num_channels,
                 attention_fn=self.attention_fn,
                 name=f"NonLocal_layer_{i}",
-            )(x, compat, mask=mask, train=train)
+            )(x, compat, mask=mask, train=train, attention_fn=attention_fn)
         return x

@@ -26,7 +26,7 @@ import flax.linen as nn
 from pointdsc_tpu.models.blocks import NonLocalNet
 from pointdsc_tpu.ops.compatibility import spatial_consistency, feature_similarity
 from pointdsc_tpu.ops.eig import power_iteration
-from pointdsc_tpu.ops.knn import feature_knn
+from pointdsc_tpu.ops.knn import feature_knn, pairwise_dists
 from pointdsc_tpu.ops.nms import pick_seeds_nms, pick_seeds_topk
 from pointdsc_tpu.ops.procrustes import weighted_procrustes
 from pointdsc_tpu.ops.se3 import transform
@@ -67,6 +67,7 @@ class PointDSC(nn.Module):
         mask: jnp.ndarray | None = None,  # [B, N] bool
         testing: bool = False,
         train: bool = False,
+        fused_attention: bool = False,
     ) -> PointDSCOutput:
         bs, num_corr = corr_pos.shape[0], corr_pos.shape[1]
         if mask is None:
@@ -78,15 +79,31 @@ class PointDSC(nn.Module):
         # ---- Step 1: spatial-consistency matrix + correspondence encoding.
         # Computed once, without gradient, shared by all attention layers
         # (PointDSC.py:150-155). src_dist is reused by NMS seed picking.
-        compat, src_dist = jax.lax.stop_gradient(
-            spatial_consistency(
-                src_keypts,
-                tgt_keypts,
+        # With `fused_attention` the [N, N] compat matrix is never
+        # materialized: each attention layer recomputes compatibility tiles
+        # in VMEM from the raw coordinates (kernels/sc_attention.py).
+        attention_fn = None
+        if fused_attention:
+            from pointdsc_tpu.kernels.sc_attention import make_sc_attention_fn
+
+            attention_fn = make_sc_attention_fn(
+                jax.lax.stop_gradient(src_keypts),
+                jax.lax.stop_gradient(tgt_keypts),
                 self.sigma_d,
                 mask=mask,
-                return_src_dist=True,
             )
-        )
+            compat = None
+            src_dist = jax.lax.stop_gradient(pairwise_dists(src_keypts))
+        else:
+            compat, src_dist = jax.lax.stop_gradient(
+                spatial_consistency(
+                    src_keypts,
+                    tgt_keypts,
+                    self.sigma_d,
+                    mask=mask,
+                    return_src_dist=True,
+                )
+            )
 
         encoder = NonLocalNet(
             in_dim=self.in_dim,
@@ -95,7 +112,9 @@ class PointDSC(nn.Module):
             attention_fn=self.attention_fn,
             name="encoder",
         )
-        corr_features = encoder(corr_pos, compat, mask=mask, train=train)
+        corr_features = encoder(
+            corr_pos, compat, mask=mask, train=train, attention_fn=attention_fn
+        )
         # safe L2 normalize (finite gradient even for a zero feature vector)
         feat_sq = jnp.sum(corr_features * corr_features, axis=-1, keepdims=True)
         normed_features = corr_features / jnp.sqrt(feat_sq + 1e-12)

@@ -1,0 +1,81 @@
+"""Classical baselines: recovery on planted synthetic registrations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointdsc_tpu.baselines import (
+    least_squares_fit,
+    pmc_registration,
+    ransac_registration,
+    spectral_matching,
+)
+from pointdsc_tpu.ops.se3 import decompose_trans, relative_rotation_error
+from tests.test_model import make_synthetic_pair
+
+
+def check_recovery(trans, gt, re_tol=2.0, te_tol=0.05):
+    R_pred, t_pred = decompose_trans(jnp.asarray(trans))
+    re = float(relative_rotation_error(R_pred, jnp.asarray(gt[..., :3, :3])))
+    te = float(np.linalg.norm(np.asarray(t_pred).reshape(-1) - gt[..., :3, 3].reshape(-1)))
+    assert re < re_tol, f"RE={re}"
+    assert te < te_tol, f"TE={te}"
+
+
+class TestSpectralMatching:
+    def test_recovers_transform(self, rng):
+        cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=200, inlier_ratio=0.6)
+        trans, labels = spectral_matching(
+            jnp.asarray(src)[None], jnp.asarray(tgt)[None], 0.10
+        )
+        check_recovery(trans[0], gt)
+        # selected inliers should be mostly true inliers
+        prec = (np.asarray(labels)[0] * lab).sum() / np.asarray(labels)[0].sum()
+        assert prec > 0.8
+
+
+class TestRansac:
+    def test_recovers_transform(self, rng):
+        cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=200, inlier_ratio=0.4)
+        trans, labels = ransac_registration(
+            jnp.asarray(src)[None],
+            jnp.asarray(tgt)[None],
+            jax.random.key(0),
+            inlier_threshold=0.10,
+            num_hypotheses=1024,
+        )
+        check_recovery(trans[0], gt)
+        recall = (np.asarray(labels)[0] * lab).sum() / lab.sum()
+        assert recall > 0.9
+
+    def test_low_inlier_ratio(self, rng):
+        cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=300, inlier_ratio=0.15)
+        trans, _ = ransac_registration(
+            jnp.asarray(src)[None],
+            jnp.asarray(tgt)[None],
+            jax.random.key(1),
+            inlier_threshold=0.10,
+            num_hypotheses=8192,
+        )
+        check_recovery(trans[0], gt, re_tol=3.0, te_tol=0.08)
+
+
+class TestLeastSquares:
+    def test_gt_inlier_fit(self, rng):
+        cp, src, tgt, gt, lab = make_synthetic_pair(
+            rng, n=200, inlier_ratio=0.5, noise=0.001
+        )
+        trans, _ = least_squares_fit(
+            jnp.asarray(src)[None], jnp.asarray(tgt)[None], jnp.asarray(lab)[None]
+        )
+        # affine fit on near-noiseless inliers approximates the rigid gt
+        np.testing.assert_allclose(np.asarray(trans)[0], gt, atol=0.02)
+
+
+class TestPMC:
+    def test_recovers_transform(self, rng):
+        cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=80, inlier_ratio=0.5)
+        trans, labels = pmc_registration(src, tgt, inlier_threshold=0.10)
+        check_recovery(trans, gt)
+        prec = (labels * lab).sum() / max(labels.sum(), 1)
+        assert prec > 0.9

@@ -48,7 +48,7 @@ class TestBucketing:
         assert bucket_size(100) == 256
         assert bucket_size(256) == 256
         assert bucket_size(257) == 512
-        assert bucket_size(5000) == 5000
+        assert bucket_size(5000) == 5120
         assert bucket_size(30000) % 2048 == 0
 
     def test_pad_and_collate(self, rng):
