@@ -1,0 +1,125 @@
+"""Point-to-point ICP + registration information matrix, pure JAX.
+
+Replaces the reference's Open3D C++ host calls:
+  * `icp_refine` (/root/reference/evaluation/benchmark_utils.py:40-56):
+    point-to-point ICP polishing an estimated transform;
+  * `get_information_matrix_from_point_clouds` (used by multiway,
+    /root/reference/multiway/test_multi_ate.py:137-154) whose [5,5] entry
+    counts correspondences for the overlap-pruning rule.
+
+TPU design: fixed-iteration `lax.scan`, nearest neighbors by one [N, M]
+matmul-form distance per iteration (MXU work, no KD-tree host round-trip),
+correspondences gated by max_correspondence_distance via weights instead of
+variable-size index sets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pointdsc_tpu.ops.knn import pairwise_sq_dists
+from pointdsc_tpu.ops.procrustes import weighted_procrustes
+from pointdsc_tpu.ops.se3 import transform
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def icp_point_to_point(
+    src_pts: jnp.ndarray,  # [N, 3]
+    tgt_pts: jnp.ndarray,  # [M, 3]
+    init_trans: jnp.ndarray,  # [4, 4]
+    max_correspondence_distance: float = 0.10,
+    max_iters: int = 20,
+    src_mask: jnp.ndarray | None = None,
+    tgt_mask: jnp.ndarray | None = None,
+):
+    """ICP refinement. Returns (trans [4,4], fitness, inlier_rmse).
+
+    fitness = matched fraction of (valid) source points, inlier_rmse = RMSE
+    over matched pairs -- the two scalars Open3D's result reports.
+    """
+    n = src_pts.shape[0]
+    if src_mask is None:
+        src_mask = jnp.ones((n,), bool)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones((tgt_pts.shape[0],), bool)
+
+    max_d2 = max_correspondence_distance**2
+
+    def step(trans, _):
+        warped = transform(src_pts[None], trans[None])[0]  # [N, 3]
+        d2 = pairwise_sq_dists(warped, tgt_pts)  # [N, M]
+        d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
+        nn_idx = jnp.argmin(d2, axis=-1)
+        nn_d2 = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
+        matched = (nn_d2 < max_d2) & src_mask
+        w = matched.astype(src_pts.dtype)
+        new_trans = weighted_procrustes(
+            src_pts[None], tgt_pts[nn_idx][None], w[None]
+        )[0]
+        # freeze when almost nothing matches (degenerate)
+        enough = jnp.sum(w) >= 3
+        new_trans = jnp.where(enough, new_trans, trans)
+        return new_trans, (matched, nn_d2)
+
+    trans, (matched, nn_d2) = jax.lax.scan(step, init_trans, None, length=max_iters)
+    matched, nn_d2 = matched[-1], nn_d2[-1]
+
+    num_valid = jnp.maximum(jnp.sum(src_mask), 1)
+    num_matched = jnp.sum(matched)
+    fitness = num_matched / num_valid
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.where(matched, nn_d2, 0.0)) / jnp.maximum(num_matched, 1)
+    )
+    return trans, fitness, rmse
+
+
+@partial(jax.jit, static_argnames=())
+def information_matrix(
+    src_pts: jnp.ndarray,  # [N, 3]
+    tgt_pts: jnp.ndarray,  # [M, 3]
+    trans: jnp.ndarray,  # [4, 4] src -> tgt
+    max_correspondence_distance: float = 0.10,
+    src_mask: jnp.ndarray | None = None,
+    tgt_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """6x6 registration information matrix (Open3D-compatible semantics).
+
+    For every source point whose warped position has a target neighbor within
+    the threshold, accumulate G^T G with G = [skew(q) | I] evaluated at the
+    *target* point q — the Gauss-Newton approximation of the pairwise pose
+    Hessian. info[5,5] equals the correspondence count, which the multiway
+    pipeline divides by min(N, M) as its overlap measure
+    (test_multi_ate.py:147-149).
+    """
+    n = src_pts.shape[0]
+    if src_mask is None:
+        src_mask = jnp.ones((n,), bool)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones((tgt_pts.shape[0],), bool)
+
+    warped = transform(src_pts[None], trans[None])[0]
+    d2 = pairwise_sq_dists(warped, tgt_pts)
+    d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
+    nn_idx = jnp.argmin(d2, axis=-1)
+    nn_d2 = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
+    matched = (nn_d2 < max_correspondence_distance**2) & src_mask
+    w = matched.astype(src_pts.dtype)
+
+    q = tgt_pts[nn_idx]  # [N, 3]
+    x, y, z = q[:, 0], q[:, 1], q[:, 2]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    # G rows for each point: 3 x 6, parameters ordered (rx, ry, rz, tx, ty, tz)
+    G = jnp.stack(
+        [
+            jnp.stack([zeros, z, -y, ones, zeros, zeros], axis=-1),
+            jnp.stack([-z, zeros, x, zeros, ones, zeros], axis=-1),
+            jnp.stack([y, -x, zeros, zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )  # [N, 3, 6]
+    info = jnp.einsum("nij,nik,n->jk", G, G, w)
+    return info
