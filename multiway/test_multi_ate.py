@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Multiway registration on Augmented ICL-NUIM with ATE evaluation
+(parity with /root/reference/multiway/test_multi_ate.py).
+
+Per scene: all fragment pairs are registered (odometry pairs by multi-scale
+ICP, loop closures by PointDSC with overlap pruning), assembled into a pose
+graph, robustly optimized, optionally ICP-refined and re-optimized, and
+scored as ATE RMSE (cm) against the ground-truth fragment trajectory.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def str2bool(v):
+    return str(v).lower() in ("true", "1")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chosen_snapshot", default="", type=str)
+    parser.add_argument("--root", default="/data/Augmented_ICL-NUIM", type=str)
+    parser.add_argument("--descriptor", default="fpfh", type=str)
+    parser.add_argument("--num_node", default=20000, type=int)
+    parser.add_argument("--use_icp", default=False, type=str2bool)
+    parser.add_argument(
+        "--scenes",
+        default="livingroom1-simulated,livingroom2-simulated,"
+        "office1-simulated,office2-simulated",
+        type=str,
+    )
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointdsc_tpu.data.pipeline import pad_to_bucket
+    from pointdsc_tpu.data.redwood import RedwoodDataset
+    from pointdsc_tpu.models import PointDSC
+    from pointdsc_tpu.multiway.ate import ate_rmse
+    from pointdsc_tpu.multiway.registration import (
+        MultiwayConfig,
+        build_pose_graph,
+        refine_and_reoptimize,
+    )
+    from pointdsc_tpu.train.config import Config, default_config
+    from pointdsc_tpu.train.trainer import load_model_weights
+
+    if args.chosen_snapshot:
+        cfg = Config.load(f"snapshot/{args.chosen_snapshot}/config.json")
+    else:
+        cfg = default_config("3DMatch")
+    cfg.descriptor = args.descriptor
+
+    model = PointDSC(
+        in_dim=cfg.in_dim,
+        num_layers=cfg.num_layers,
+        num_channels=cfg.num_channels,
+        num_iterations=cfg.num_iterations,
+        ratio=cfg.ratio,
+        sigma_d=cfg.sigma_d,
+        k=cfg.k,
+        inlier_threshold=cfg.inlier_threshold,
+        nms_radius=cfg.inlier_threshold,
+    )
+
+    ates = []
+    for scene in args.scenes.split(","):
+        print(f"=== Scene {scene} ===")
+        dataset = RedwoodDataset(
+            root=args.root,
+            select_scene=scene,
+            descriptor=cfg.descriptor,
+            in_dim=cfg.in_dim,
+            inlier_threshold=cfg.inlier_threshold,
+            num_node=args.num_node,
+            use_mutual=True,
+        )
+
+        variables = None
+        forward = None
+        pairwise = {}
+        fragment_points = {
+            i: dataset._load(i)[0] for i in range(dataset.num_pcds)
+        }
+        for idx in range(len(dataset)):
+            i, j = dataset.pair_ids(idx)
+            if j == i + 1:
+                pairwise[(i, j)] = np.eye(4)  # refined by ICP in build step
+                continue
+            sample = dataset[idx]
+            padded = pad_to_bucket(sample)
+            inputs = (
+                jnp.asarray(padded["corr_pos"])[None],
+                jnp.asarray(padded["src_keypts"])[None],
+                jnp.asarray(padded["tgt_keypts"])[None],
+            )
+            if variables is None:
+                ckpt = f"snapshot/{args.chosen_snapshot}/models/model_best.pkl"
+                if args.chosen_snapshot and os.path.exists(ckpt):
+                    variables = load_model_weights(model, ckpt, inputs)
+                else:
+                    variables = model.init(jax.random.key(0), *inputs)
+
+                @jax.jit
+                def forward(corr_pos, src, tgt, mask):
+                    out = model.apply(
+                        variables, corr_pos, src, tgt, mask=mask, testing=True
+                    )
+                    return out.final_trans
+
+            trans = np.asarray(
+                forward(*inputs, jnp.asarray(padded["mask"])[None])
+            )[0]
+            pairwise[(i, j)] = trans
+
+        mcfg = MultiwayConfig()
+        graph = build_pose_graph(
+            dataset.num_pcds, pairwise, fragment_points, mcfg
+        )
+        if args.use_icp:
+            graph = refine_and_reoptimize(graph, fragment_points, mcfg)
+
+        ate = ate_rmse(graph.poses, dataset.gt_trajectory)
+        print(f"Scene {scene}: ATE RMSE = {ate:.2f} cm "
+              f"({len(graph.edges)} edges kept)")
+        ates.append(ate)
+
+    print(f"Mean ATE over {len(ates)} scenes: {np.mean(ates):.2f} cm")
+    return ates
+
+
+if __name__ == "__main__":
+    main()

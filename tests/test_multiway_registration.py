@@ -1,0 +1,87 @@
+"""Multiway registration integration: synthetic fragment scene end-to-end."""
+
+import numpy as np
+import pytest
+
+from pointdsc_tpu.data import transforms_np as T
+from pointdsc_tpu.multiway.ate import ate_rmse
+from pointdsc_tpu.multiway.registration import (
+    MultiwayConfig,
+    build_pose_graph,
+    multi_scale_icp,
+)
+
+
+def make_scene(rng, num_frag=5, n_pts=800):
+    """Fragments = overlapping views of one global cloud, with gt poses."""
+    world = rng.uniform(-2, 2, (4000, 3))
+    gt_poses = [np.eye(4)]
+    for _ in range(num_frag - 1):
+        step = T.integrate_trans(
+            T.rotation_matrix(3, 0.03, rng), T.translation_matrix(0.4, rng)
+        )
+        gt_poses.append(gt_poses[-1] @ step)
+    fragments = {}
+    for i, pose in enumerate(gt_poses):
+        # points visible from fragment i, expressed in its local frame
+        sel = rng.choice(len(world), n_pts, replace=False)
+        local = T.transform(world[sel], np.linalg.inv(pose))
+        fragments[i] = local + rng.normal(size=local.shape) * 0.002
+    return gt_poses, fragments
+
+
+class TestMultiScaleICP:
+    def test_converges_from_coarse_init(self, rng):
+        pts = rng.uniform(-1, 1, (2000, 3))
+        gt = T.integrate_trans(
+            T.rotation_matrix(3, 0.02, rng), T.translation_matrix(0.1, rng)
+        )
+        tgt = T.transform(pts, gt)
+        # the init error (~0.1 m) exceeds the production 0.07 threshold, so
+        # widen the correspondence gate for this from-scratch convergence test
+        trans, info = multi_scale_icp(
+            pts, tgt, np.eye(4), voxel_sizes=(0.2, 0.1, 0.05),
+            max_iters=(30, 20, 10), distance_threshold=0.3,
+        )
+        np.testing.assert_allclose(trans, gt, atol=0.02)
+        assert info[5, 5] > 10
+
+
+class TestBuildPoseGraph:
+    def test_synthetic_scene_low_ate(self, rng):
+        gt_poses, fragments = make_scene(rng, num_frag=4)
+        # pairwise results: noisy gt transforms for all pairs
+        pairwise = {}
+        for i in range(4):
+            for j in range(i + 1, 4):
+                gt_ij = np.linalg.inv(gt_poses[j]) @ gt_poses[i]
+                noise = T.integrate_trans(
+                    T.rotation_matrix(3, 0.002, rng), T.translation_matrix(0.01, rng)
+                )
+                pairwise[(i, j)] = noise @ gt_ij
+        graph = build_pose_graph(
+            4, pairwise, fragments,
+            MultiwayConfig(icp_distance=0.1, max_correspondence_distance=0.1),
+        )
+        ate = ate_rmse(graph.poses, gt_poses)
+        assert ate < 3.0, f"ATE {ate} cm"
+
+    def test_low_overlap_loop_closure_pruned(self, rng):
+        gt_poses, fragments = make_scene(rng, num_frag=4)
+        pairwise = {}
+        for i in range(3):
+            gt_ij = np.linalg.inv(gt_poses[i + 1]) @ gt_poses[i]
+            pairwise[(i, i + 1)] = gt_ij
+        # a garbage loop closure with essentially no true overlap support
+        bad = T.integrate_trans(
+            T.rotation_matrix(3, 1.0, rng), T.translation_matrix(5.0, rng)
+        )
+        pairwise[(0, 3)] = bad
+        graph = build_pose_graph(
+            4, pairwise, fragments,
+            MultiwayConfig(icp_distance=0.1, max_correspondence_distance=0.1),
+        )
+        # the bad edge must have been dropped by the overlap gate
+        assert all((e.source, e.target) != (0, 3) for e in graph.edges)
+        ate = ate_rmse(graph.poses, gt_poses)
+        assert ate < 3.0, f"ATE {ate} cm"
