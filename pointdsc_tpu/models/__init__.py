@@ -8,3 +8,4 @@ from pointdsc_tpu.models.blocks import (
     NonLocalNet,
 )
 from pointdsc_tpu.models.pointdsc import PointDSC, PointDSCOutput
+from pointdsc_tpu.models.oanet import OANet
