@@ -84,14 +84,23 @@ class ContextNorm(nn.Module):
 
 
 class PointCNLayer(nn.Module):
-    """Dense + BatchNorm + ReLU (one PointCN step, PointDSC.py:56-61)."""
+    """Dense + BatchNorm + ReLU (one PointCN step, PointDSC.py:56-61).
+
+    `compute_dtype=bfloat16` runs the Dense matmul on the MXU's fast path;
+    normalization statistics stay f32 (flax keeps params f32 either way).
+    """
 
     num_channels: int = 128
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
-        x = nn.Dense(self.num_channels, kernel_init=nn.initializers.xavier_normal())(x)
-        x = MaskedBatchNorm()(x, mask=mask, train=train)
+        x = nn.Dense(
+            self.num_channels,
+            kernel_init=nn.initializers.xavier_normal(),
+            dtype=self.compute_dtype,
+        )(x)
+        x = MaskedBatchNorm()(x.astype(jnp.float32), mask=mask, train=train)
         return nn.relu(x)
 
 
@@ -110,6 +119,7 @@ class NonLocalBlock(nn.Module):
     num_channels: int = 128
     num_heads: int = 1
     attention_fn: Callable | None = None
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat, compat, mask=None, train: bool = False, attention_fn=None):
@@ -117,35 +127,53 @@ class NonLocalBlock(nn.Module):
         # recomputes it on the fly.
         attention_fn = attention_fn or self.attention_fn
         c, h = self.num_channels, self.num_heads
+        cdt = self.compute_dtype
         xavier = nn.initializers.xavier_normal()
-        q = nn.Dense(c, kernel_init=xavier, name="projection_q")(feat)
-        k = nn.Dense(c, kernel_init=xavier, name="projection_k")(feat)
-        v = nn.Dense(c, kernel_init=xavier, name="projection_v")(feat)
+        q = nn.Dense(c, kernel_init=xavier, dtype=cdt, name="projection_q")(feat)
+        k = nn.Dense(c, kernel_init=xavier, dtype=cdt, name="projection_k")(feat)
+        v = nn.Dense(c, kernel_init=xavier, dtype=cdt, name="projection_v")(feat)
 
         if attention_fn is not None:
-            message = attention_fn(q, k, v, mask)
+            message = attention_fn(
+                q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+                mask,
+            )
         else:
             b, n, _ = feat.shape
             qh = q.reshape(b, n, h, c // h)
             kh = k.reshape(b, n, h, c // h)
             vh = v.reshape(b, n, h, c // h)
-            logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) / jnp.sqrt(
-                jnp.asarray(c // h, feat.dtype)
-            )
+            # O(N^2 C) contractions run in compute_dtype on the MXU with f32
+            # accumulation; softmax statistics stay f32.
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.asarray(c // h, jnp.float32))
             scores = compat[:, None, :, :] * logits
             if mask is not None:
                 scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
             weight = nn.softmax(scores, axis=-1)
-            message = jnp.einsum("bhnm,bmhd->bnhd", weight, vh).reshape(b, n, c)
+            message = jnp.einsum(
+                "bhnm,bmhd->bnhd",
+                weight.astype(cdt),
+                vh,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, n, c)
 
-        message = nn.Dense(c // 2, kernel_init=xavier, name="fc_message_0")(message)
-        message = MaskedBatchNorm(name="fc_message_bn0")(message, mask=mask, train=train)
+        message = nn.Dense(c // 2, kernel_init=xavier, dtype=cdt,
+                           name="fc_message_0")(message)
+        message = MaskedBatchNorm(name="fc_message_bn0")(
+            message.astype(jnp.float32), mask=mask, train=train
+        )
         message = nn.relu(message)
-        message = nn.Dense(c // 2, kernel_init=xavier, name="fc_message_1")(message)
-        message = MaskedBatchNorm(name="fc_message_bn1")(message, mask=mask, train=train)
+        message = nn.Dense(c // 2, kernel_init=xavier, dtype=cdt,
+                           name="fc_message_1")(message)
+        message = MaskedBatchNorm(name="fc_message_bn1")(
+            message.astype(jnp.float32), mask=mask, train=train
+        )
         message = nn.relu(message)
-        message = nn.Dense(c, kernel_init=xavier, name="fc_message_2")(message)
-        return feat + message
+        message = nn.Dense(c, kernel_init=xavier, dtype=cdt,
+                           name="fc_message_2")(message)
+        return feat + message.astype(jnp.float32)
 
 
 class NonLocalNet(nn.Module):
@@ -157,6 +185,7 @@ class NonLocalNet(nn.Module):
     num_layers: int = 6
     num_channels: int = 128
     attention_fn: Callable | None = None
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -169,12 +198,15 @@ class NonLocalNet(nn.Module):
             name="layer0",
         )(corr_feat)
         for i in range(self.num_layers):
-            x = PointCNLayer(self.num_channels, name=f"PointCN_layer_{i}")(
-                x, mask=mask, train=train
-            )
+            x = PointCNLayer(
+                self.num_channels,
+                compute_dtype=self.compute_dtype,
+                name=f"PointCN_layer_{i}",
+            )(x, mask=mask, train=train)
             x = NonLocalBlock(
                 self.num_channels,
                 attention_fn=self.attention_fn,
+                compute_dtype=self.compute_dtype,
                 name=f"NonLocal_layer_{i}",
             )(x, compat, mask=mask, train=train, attention_fn=attention_fn)
         return x

@@ -57,6 +57,7 @@ class PointDSC(nn.Module):
     nms_radius: float = 0.10
     refine_iters: int = 20
     attention_fn: Callable | None = None  # pluggable fused attention kernel
+    half_precision: bool = False  # bf16 encoder matmuls, f32 accumulation
 
     @nn.compact
     def __call__(
@@ -110,6 +111,7 @@ class PointDSC(nn.Module):
             num_layers=self.num_layers,
             num_channels=self.num_channels,
             attention_fn=self.attention_fn,
+            compute_dtype=jnp.bfloat16 if self.half_precision else jnp.float32,
             name="encoder",
         )
         corr_features = encoder(
