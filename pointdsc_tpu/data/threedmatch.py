@@ -168,9 +168,19 @@ class ThreeDMatchTest:
         self.use_mutual = use_mutual
         self.seed = seed
 
-        self.scene_list = (
+        scene_list = (
             [select_scene] if select_scene in TEST_SCENES else list(TEST_SCENES)
         )
+        # tolerate partial data roots: only scenes whose gt files exist
+        self.scene_list = [
+            s
+            for s in scene_list
+            if os.path.exists(os.path.join(root, "gt_result", f"{s}-evaluation", "gt.log"))
+        ]
+        if not self.scene_list:
+            raise FileNotFoundError(
+                f"no gt_result/<scene>-evaluation/gt.log found under {root}"
+            )
         self.gt_trans: dict[str, np.ndarray] = {}
         for scene in self.scene_list:
             gt_path = os.path.join(root, "gt_result", f"{scene}-evaluation")
