@@ -26,6 +26,13 @@ def main(argv=None):
     parser.add_argument("--num_corr", default=5000, type=int)
     parser.add_argument("--save_npy", default=False, type=str2bool)
     parser.add_argument("--root", default="", type=str)
+    parser.add_argument(
+        "--use_predator", default=False, type=str2bool,
+        help="use OverlapPredator per-pair .pth correspondences "
+        "(reference test_3DLoMatch.py:22-60); --predator_root points at the "
+        "directory of {idx}.pth files",
+    )
+    parser.add_argument("--predator_root", default="", type=str)
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -54,14 +61,24 @@ def main(argv=None):
         inlier_threshold=cfg.inlier_threshold,
         nms_radius=cfg.inlier_threshold,
     )
-    dataset = ThreeDLoMatchTest(
-        root=cfg.root,
-        descriptor=cfg.descriptor,
-        in_dim=cfg.in_dim,
-        inlier_threshold=cfg.inlier_threshold,
-        num_node=args.num_corr,
-        use_mutual=cfg.use_mutual,
-    )
+    if args.use_predator:
+        from pointdsc_tpu.data.predator import PredatorLoMatchDataset
+
+        dataset = PredatorLoMatchDataset(
+            root=args.predator_root,
+            n_points=args.num_corr,
+            inlier_threshold=cfg.inlier_threshold,
+            in_dim=cfg.in_dim,
+        )
+    else:
+        dataset = ThreeDLoMatchTest(
+            root=cfg.root,
+            descriptor=cfg.descriptor,
+            in_dim=cfg.in_dim,
+            inlier_threshold=cfg.inlier_threshold,
+            num_node=args.num_corr,
+            use_mutual=cfg.use_mutual,
+        )
     example = dataset[0]
     variables = load_model_weights(
         model,

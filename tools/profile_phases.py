@@ -68,24 +68,25 @@ def main():
         lambda cp, s, t: spatial_consistency(s[None], t[None], 0.1)
     ))
 
-    # 2. full encoder
+    # 2. full encoder (standalone NonLocalNet sharing the model's weights)
+    enc = NonLocalNet(in_dim=6, num_layers=12, num_channels=128)
+    enc_vars = {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables["batch_stats"]["encoder"],
+    }
+
     def enc_only(cp, s, t):
-        out = model.apply(
-            variables, cp[None], s[None], t[None], testing=True,
-            method=lambda m, *a, **kw: None,
-        ) if False else None
-        # call the encoder submodule directly
         compat = spatial_consistency(s[None], t[None], 0.1)
-        feats = model.bind(variables).encoder(cp[None], compat)
-        return feats
+        return enc.apply(enc_vars, cp[None], compat)
+
     timed("compat + encoder (12 layers)", mapped(enc_only))
 
     # 3. feature knn (N x N topk)
     def knn_only(cp, s, t):
-        compat = spatial_consistency(s[None], t[None], 0.1)
-        feats = model.bind(variables).encoder(cp[None], compat)
+        feats = enc_only(cp, s, t)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         return feature_knn(feats, k=40, ignore_self=True)
+
     timed("... + feature knn", mapped(knn_only))
 
     # 4. full forward without refinement
