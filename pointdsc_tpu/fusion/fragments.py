@@ -1,0 +1,123 @@
+"""Fragment builder: RGB-D sequence -> TSDF-fused fragment point clouds.
+
+Rebuilds /root/reference/multiway/make_fragments.py:64-175 without Open3D:
+frames are chunked into fragments (100 frames each, reference
+initialize_config.py n_frames_per_fragment), chained with projective
+point-to-plane depth odometry, refined by a per-fragment pose graph with
+keyframe loop-closure edges, integrated into a dense TSDF volume, and the
+extracted surface points are written as `fragment_%03d.ply` plus the
+`fragment_%03d.npy` pose and an FPFH descriptor `.npz` -- the exact inputs
+RedwoodDataset expects.
+
+Depth images are 16-bit PNGs (millimeters, depth_scale=1000).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from pointdsc_tpu.fusion.camera import PinholeIntrinsics
+from pointdsc_tpu.fusion.odometry import depth_odometry
+from pointdsc_tpu.fusion.tsdf import TSDFVolume, extract_surface_points
+from pointdsc_tpu.multiway.pose_graph import PoseGraph, PoseGraphEdge, optimize_pose_graph
+
+
+def read_depth_png(path: str, depth_scale: float = 1000.0) -> np.ndarray:
+    from PIL import Image
+
+    img = np.asarray(Image.open(path), dtype=np.float32)
+    return img / depth_scale
+
+
+def build_fragment(
+    depth_paths: list[str],
+    intr: PinholeIntrinsics | None = None,
+    voxel_size: float = 0.008,
+    sdf_trunc: float = 0.04,
+    keyframe_every: int = 5,
+    depth_trunc: float = 4.0,
+    grid_dims: tuple = (256, 256, 256),
+):
+    """Fuse one fragment. Returns (points [N, 3], frame_poses list of 4x4
+    cam->fragment)."""
+    import jax.numpy as jnp
+
+    intr = intr or PinholeIntrinsics.primesense_default()
+    depths = [read_depth_png(p) if isinstance(p, str) else np.asarray(p)
+              for p in depth_paths]
+
+    # odometry chain + keyframe edges -> fragment pose graph
+    poses = [np.eye(4)]
+    edges = []
+    for i in range(len(depths) - 1):
+        trans, frac = depth_odometry(
+            jnp.asarray(depths[i]), jnp.asarray(depths[i + 1]), intr
+        )
+        trans = np.asarray(trans)
+        # camera_i -> camera_{i+1}; node poses are cam -> fragment(=cam_0)
+        poses.append(poses[-1] @ np.linalg.inv(trans))
+        edges.append(PoseGraphEdge(i, i + 1, np.linalg.inv(trans), np.eye(6),
+                                   uncertain=False))
+    for i in range(0, len(depths) - keyframe_every, keyframe_every):
+        j = i + keyframe_every
+        init = np.linalg.inv(np.linalg.inv(poses[j]) @ poses[i])
+        trans, frac = depth_odometry(
+            jnp.asarray(depths[i]), jnp.asarray(depths[j]), intr,
+            init_trans=jnp.asarray(np.linalg.inv(init), jnp.float32),
+        )
+        if float(frac) > 0.3:
+            edges.append(PoseGraphEdge(i, j, np.linalg.inv(np.asarray(trans)),
+                                       np.eye(6), uncertain=True))
+    if len(poses) > 1:
+        graph = optimize_pose_graph(PoseGraph(poses=poses, edges=edges),
+                                    max_correspondence_distance=0.07)
+        poses = [np.asarray(p) for p in graph.poses]
+
+    # choose the volume origin from the first frame's view frustum
+    vol_extent = np.asarray(grid_dims) * voxel_size
+    origin = np.array([-vol_extent[0] / 2, -vol_extent[1] / 2, 0.0])
+    vol = TSDFVolume(origin=origin, voxel_size=voxel_size, sdf_trunc=sdf_trunc,
+                     dims=grid_dims)
+    for depth, pose in zip(depths, poses):
+        vol.integrate(jnp.asarray(depth), intr, jnp.asarray(pose, np.float32))
+
+    points = extract_surface_points(vol)
+    return points, poses
+
+
+def make_fragments(
+    dataset_dir: str,
+    out_dir: str,
+    n_frames_per_fragment: int = 100,
+    voxel_size: float = 0.008,
+    fpfh_voxel: float = 0.05,
+    intr: PinholeIntrinsics | None = None,
+):
+    """Process a scene directory with a depth/ subfolder of 16-bit PNGs."""
+    from pointdsc_tpu.data.ply import write_ply_xyz
+    from pointdsc_tpu.descriptors import extract_fpfh
+
+    depth_files = sorted(
+        glob.glob(os.path.join(dataset_dir, "depth", "*.png"))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n_fragments = int(np.ceil(len(depth_files) / n_frames_per_fragment))
+    world_pose = np.eye(4)
+    for f in range(n_fragments):
+        chunk = depth_files[
+            f * n_frames_per_fragment:(f + 1) * n_frames_per_fragment
+        ]
+        points, poses = build_fragment(chunk, intr=intr, voxel_size=voxel_size)
+        write_ply_xyz(os.path.join(out_dir, f"fragment_{f:03d}.ply"), points)
+        np.save(os.path.join(out_dir, f"fragment_{f:03d}.npy"), world_pose)
+        keypts, feats = extract_fpfh(points, voxel_size=fpfh_voxel)
+        np.savez(
+            os.path.join(out_dir, f"fragment_{f:03d}_fpfh.npz"),
+            xyz=keypts, feature=feats,
+        )
+        # advance the world pose by the fragment's internal motion
+        world_pose = world_pose @ poses[-1]
+        print(f"fragment {f}: {len(points)} surface points")
