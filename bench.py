@@ -27,15 +27,40 @@ ITERS = 10
 BASELINE_SEC_PER_PAIR = 0.09
 
 
-def bench_variant(forward, batches):
-    import jax
+def fetch(x):
+    """Force full materialization on the host. On tunneled/async backends
+    `block_until_ready` can return before execution finishes; a host fetch
+    of the result cannot."""
+    return np.asarray(x)
 
+
+def measure_rtt():
+    """Round-trip + dispatch overhead baseline: fetch of a trivial program."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jnp.zeros((4,))
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    fetch(trivial(tiny))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fetch(trivial(tiny))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_variant(forward, batches):
     for i in range(WARMUP):
-        jax.block_until_ready(forward(*batches[i]))
+        fetch(forward(*batches[i])[0])
     times = []
     for i in range(WARMUP, WARMUP + ITERS):
         t0 = time.perf_counter()
-        jax.block_until_ready(forward(*batches[i]))
+        fetch(forward(*batches[i])[0])
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -86,15 +111,16 @@ def main():
         )
         return out.final_trans, out.final_labels
 
+    rtt = measure_rtt()
     p50_dense = bench_variant(forward_dense, batches)
     p50_fused = bench_variant(forward_fused, batches) if on_tpu else float("inf")
 
     variant = "fused" if p50_fused < p50_dense else "dense"
     p50 = min(p50_dense, p50_fused)
 
-    # Throughput: run a stream of pairs inside ONE dispatch (lax.map), which
-    # removes the host->device tunnel RTT from the measurement -- this is the
-    # per-pair device cost that serving throughput is built from.
+    # Throughput: run a stream of pairs inside ONE dispatch (lax.map) and
+    # subtract the measured RTT baseline -- this isolates the per-pair device
+    # cost that serving throughput is built from.
     stream = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *batches[:8]
     )
@@ -113,13 +139,13 @@ def main():
 
         return jax.lax.map(one, (corr_pos, src, tgt))
 
-    jax.block_until_ready(forward_stream(*stream))
+    fetch(forward_stream(*stream))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(forward_stream(*stream))
+        fetch(forward_stream(*stream))
         times.append(time.perf_counter() - t0)
-    per_pair_device = float(np.median(times)) / 8
+    per_pair_device = max(float(np.median(times)) - rtt, 1e-9) / 8
 
     print(
         json.dumps(
@@ -130,6 +156,7 @@ def main():
                 "vs_baseline": round(BASELINE_SEC_PER_PAIR / per_pair_device, 3),
                 "pairs_per_sec_per_chip": round(1.0 / per_pair_device, 2),
                 "single_dispatch_p50_ms": round(p50 * 1000, 3),
+                "rtt_ms": round(rtt * 1000, 3),
                 "variant": variant,
                 "dense_ms": round(p50_dense * 1000, 3),
                 "fused_ms": round(p50_fused * 1000, 3) if on_tpu else None,

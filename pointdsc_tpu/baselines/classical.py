@@ -125,6 +125,22 @@ def least_squares_fit(
     return T, gt_labels
 
 
+def gc_ransac_registration(*args, **kwargs):
+    """Graph-Cut RANSAC baseline (reference baseline_3DMatch.py:101-123)
+    depends on the external `pygcransac` package, which is not part of this
+    environment. The on-device `ransac_registration` above is the supported
+    sampling-consensus baseline; install pygcransac to enable this one."""
+    try:
+        import pygcransac  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "GCRANSAC requires the optional pygcransac package"
+        ) from e
+    raise NotImplementedError(
+        "pygcransac present but the GCRANSAC adapter is not wired yet"
+    )
+
+
 def pmc_registration(
     src_keypts: np.ndarray,  # [N, 3] single pair, host side
     tgt_keypts: np.ndarray,

@@ -22,7 +22,16 @@ from pointdsc_tpu.utils.timer import Timer
 
 
 class Evaluator:
-    def __init__(self, model: PointDSC, variables: dict, re_thre=15.0, te_thre=30.0):
+    def __init__(
+        self,
+        model: PointDSC,
+        variables: dict,
+        re_thre=15.0,
+        te_thre=30.0,
+        use_icp: bool = False,
+        icp_threshold: float = 0.10,
+        fused_attention: bool = False,
+    ):
         self.model = model
         self.variables = variables
         self.re_thre = re_thre
@@ -31,9 +40,23 @@ class Evaluator:
         @jax.jit
         def _forward(corr_pos, src_keypts, tgt_keypts, mask):
             out = model.apply(
-                variables, corr_pos, src_keypts, tgt_keypts, mask=mask, testing=True
+                variables, corr_pos, src_keypts, tgt_keypts, mask=mask,
+                testing=True, fused_attention=fused_attention,
             )
-            return out.final_trans, out.final_labels
+            trans = out.final_trans
+            if use_icp:
+                # ICP polish on the correspondence keypoint clouds
+                # (reference icp_refine, benchmark_utils.py:40-56), fused
+                # into the same XLA program
+                from pointdsc_tpu.ops.icp import icp_point_to_point
+
+                trans0, _, _ = icp_point_to_point(
+                    src_keypts[0], tgt_keypts[0], trans[0],
+                    max_correspondence_distance=icp_threshold,
+                    src_mask=mask[0], tgt_mask=mask[0],
+                )
+                trans = trans0[None]
+            return trans, out.final_labels
 
         self._forward = _forward
 

@@ -127,7 +127,10 @@ def _sc_attention_kernel(
     p = jnp.exp(s - m_new)  # (TQ, TK)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
-        p, v_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=f32
+        p.astype(v_ref.dtype),  # match v's (possibly bf16) MXU input dtype
+        v_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
     )
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:, 0:1] = m_new
@@ -142,7 +145,7 @@ def _sc_attention_kernel(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
 def _fused_sc_attention_single(
-    q, k, v, geom, sigma_d, block_q=256, block_k=512, interpret=False
+    q, k, v, geom, sigma_d, block_q=512, block_k=1024, interpret=False
 ):
     n, c = q.shape
     block_q = min(block_q, n)
@@ -181,7 +184,8 @@ def _fused_sc_attention_single(
 
 
 def fused_sc_attention(
-    q, k, v, src, tgt, sigma_d, mask=None, block_q=256, block_k=512, interpret=None
+    q, k, v, src, tgt, sigma_d, mask=None, block_q=512, block_k=1024,
+    interpret=None, use_bf16=True,
 ):
     """Batched fused SC attention.
 
@@ -192,6 +196,8 @@ def fused_sc_attention(
         mask: [B, N] bool or None.
         interpret: force Pallas interpret mode (default: auto -- interpret
             everywhere except on real TPU backends).
+        use_bf16: stream q/k/v in bf16 (halves their HBM/VMEM traffic; the
+            QK^T and PV contractions accumulate in f32, softmax stays f32).
 
     Returns: [B, N, C] attention messages (pre message-MLP).
     """
@@ -201,6 +207,11 @@ def fused_sc_attention(
     geom = jax.vmap(pack_geometry)(src, tgt, mask) if mask is not None else jax.vmap(
         lambda s, t: pack_geometry(s, t, None)
     )(src, tgt)
+
+    if use_bf16 and not interpret:
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
 
     fn = functools.partial(
         _fused_sc_attention_single,

@@ -65,6 +65,41 @@ class MaskedBatchNorm(nn.Module):
         return y * scale + bias
 
 
+class EdgeConv(nn.Module):
+    """DGCNN-style edge convolution over feature-space k-NN graphs
+    (/root/reference/models/common.py:72-103; present for parity -- the
+    reference's final model does not use it either).
+
+    For each point: features of its k nearest neighbors are concatenated as
+    [x_j - x_i, x_i], passed through a Dense, max-pooled over neighbors.
+    """
+
+    out_dim: int
+    k: int = 10
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        # x: [B, N, C]
+        from pointdsc_tpu.ops.knn import feature_knn
+
+        b, n, c = x.shape
+        idx = feature_knn(x, k=self.k, normalized=False, mask=mask)  # [B, N, k]
+        neigh = jax_take_neighbors(x, idx)
+        center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
+        feats = jnp.concatenate([neigh - center, center], axis=-1)
+        h = nn.Dense(self.out_dim, use_bias=False)(feats)  # [B, N, k, out]
+        return jnp.max(h, axis=2)
+
+
+def jax_take_neighbors(x, idx):
+    """Gather neighbor features: x [B, N, C], idx [B, N, k] -> [B, N, k, C]."""
+    b, n, c = x.shape
+    k = idx.shape[-1]
+    flat = idx.reshape(b, n * k)
+    out = jnp.take_along_axis(x, flat[..., None], axis=1)
+    return out.reshape(b, n, k, c)
+
+
 class ContextNorm(nn.Module):
     """Per-set (instance) normalization over the correspondence axis
     (/root/reference/models/common.py:106-115). Parameter-free."""

@@ -43,16 +43,30 @@ def main():
         stream["tgt_keypts"][:1],
     )
 
+    # RTT baseline (async tunneled backends only sync on host fetch)
+    @jax.jit
+    def _trivial(x):
+        return x + 1.0
+
+    np.asarray(_trivial(jnp.zeros(4)))
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(_trivial(jnp.zeros(4)))
+        rts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rts))
+    print(f"rtt baseline {rtt*1000:.2f} ms", flush=True)
+
     def timed(name, fn):
-        f = jax.jit(fn)
-        jax.block_until_ready(f(stream))
+        f = jax.jit(lambda s: jnp.sum(fn(s)))  # scalar fetch forces sync
+        float(f(stream))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(stream))
+            float(f(stream))
             ts.append(time.perf_counter() - t0)
-        per = np.median(ts) / STREAM * 1000
-        print(f"{name:35s} {per:8.3f} ms/pair")
+        per = max(np.median(ts) - rtt, 0.0) / STREAM * 1000
+        print(f"{name:35s} {per:8.3f} ms/pair", flush=True)
         return per
 
     def mapped(one):
