@@ -107,3 +107,81 @@ class Evaluator:
                 print(f"[{i + 1}/{len(dataset)}] pairs evaluated")
         stats = np.stack(rows, axis=0)
         return stats, aggregate_stats(stats)
+
+    # ------------------------------------------------------------------
+    def run_dataset_sharded(self, dataset, mesh=None, scene_of=None, verbose=True):
+        """Multi-chip eval: fan independent pairs across a data-parallel
+        mesh (SURVEY.md section 2 parallelism plan: eval = shard the pair
+        list over chips). Pairs are grouped by shape bucket, stacked to
+        device-count-sized batches, and each jit dispatch evaluates
+        len(mesh) pairs at once.
+        """
+        from pointdsc_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = mesh or make_mesh()
+        n_dev = mesh.devices.size
+
+        rows = [None] * len(dataset)
+        # pairs grouped by shape bucket so each stacked batch shares a compile
+        pending: dict[int, list[tuple[int, dict]]] = {}
+
+        def flush(bucket, items):
+            while len(items) < n_dev:  # pad the batch with a repeat
+                items.append(items[-1])
+            batch = {
+                key: np.stack([it[1][key] for it in items])
+                for key in ("corr_pos", "src_keypts", "tgt_keypts", "mask")
+            }
+            batch = shard_batch(batch, mesh)
+            t = Timer()
+            t.tic()
+            trans, labels = self._forward_batch(
+                jnp.asarray(batch["corr_pos"]),
+                jnp.asarray(batch["src_keypts"]),
+                jnp.asarray(batch["tgt_keypts"]),
+                jnp.asarray(batch["mask"]),
+            )
+            model_time = t.toc(average=False, block_on=trans) / len(items)
+            trans, labels = np.asarray(trans), np.asarray(labels)
+            for slot, (idx, padded) in enumerate(items[:n_dev]):
+                if rows[idx] is not None:
+                    continue
+                n = int(padded["mask"].sum())
+                rows[idx] = pair_stats(
+                    trans[slot],
+                    labels[slot][:n],
+                    padded["gt_trans"],
+                    padded["gt_labels"][:n],
+                    self.re_thre,
+                    self.te_thre,
+                    model_time,
+                    0.0,
+                    scene_of(idx) if scene_of else 0,
+                )
+
+        for i in range(len(dataset)):
+            sample = pad_to_bucket(dataset[i])
+            bucket = sample["corr_pos"].shape[0]
+            pending.setdefault(bucket, []).append((i, sample))
+            if len(pending[bucket]) == n_dev:
+                flush(bucket, pending.pop(bucket))
+        for bucket, items in pending.items():
+            flush(bucket, items)
+
+        stats = np.stack([r for r in rows if r is not None], axis=0)
+        return stats, aggregate_stats(stats)
+
+    @property
+    def _forward_batch(self):
+        if not hasattr(self, "_forward_batch_fn"):
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fwd(corr_pos, src, tgt, mask):
+                out = model.apply(
+                    variables, corr_pos, src, tgt, mask=mask, testing=True
+                )
+                return out.final_trans, out.final_labels
+
+            self._forward_batch_fn = fwd
+        return self._forward_batch_fn

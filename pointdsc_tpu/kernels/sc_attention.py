@@ -224,7 +224,7 @@ def fused_sc_attention(
     )
 
 
-def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=256, block_k=512,
+def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=512, block_k=1024,
                          interpret=None):
     """Adapter producing the `attention_fn(q, k, v, mask)` hook consumed by
     NonLocalBlock: closes over the pair geometry so each of the 12 layers
