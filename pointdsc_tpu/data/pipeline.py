@@ -72,8 +72,16 @@ def build_correspondences(
     distance = np.linalg.norm(warped - input_tgt, axis=-1)
     labels = (distance < inlier_threshold).astype(np.float32)
 
-    corr_pos = make_corr_pos(input_src, input_tgt, in_dim,
-                             src_desc[corr[:, 0]], tgt_desc[corr[:, 1]])
+    if in_dim == 12:
+        # surface normals of the sampled keypoint clouds (reference
+        # ThreeDMatch.py:157-168 estimates normals on the keypoint set with
+        # radius = 2 x downsample; downsample defaults to 0.03)
+        corr_pos = _normals_corr_pos(
+            src_keypts, tgt_keypts, corr, normal_radius=0.06
+        )
+    else:
+        corr_pos = make_corr_pos(input_src, input_tgt, in_dim,
+                                 src_desc[corr[:, 0]], tgt_desc[corr[:, 1]])
     return {
         "corr_pos": corr_pos.astype(np.float32),
         "src_keypts": input_src.astype(np.float32),
@@ -81,6 +89,29 @@ def build_correspondences(
         "gt_trans": gt_trans.astype(np.float32),
         "gt_labels": labels,
     }
+
+
+def _normals_corr_pos(src_keypts, tgt_keypts, corr, normal_radius=0.06):
+    """in_dim=12 encoding: [src, src_normal, tgt, tgt_normal]."""
+    import jax.numpy as jnp
+
+    from pointdsc_tpu.descriptors.fpfh import estimate_normals
+
+    src_n = np.asarray(
+        estimate_normals(jnp.asarray(src_keypts, jnp.float32), normal_radius)
+    )
+    tgt_n = np.asarray(
+        estimate_normals(jnp.asarray(tgt_keypts, jnp.float32), normal_radius)
+    )
+    return np.concatenate(
+        [
+            src_keypts[corr[:, 0]],
+            src_n[corr[:, 0]],
+            tgt_keypts[corr[:, 1]],
+            tgt_n[corr[:, 1]],
+        ],
+        axis=-1,
+    )
 
 
 def make_corr_pos(input_src, input_tgt, in_dim, src_desc=None, tgt_desc=None):
