@@ -98,6 +98,7 @@ def main():
 
     variables = model.init(jax.random.key(0), *batches[0])
     on_tpu = jax.default_backend() == "tpu"
+    model_approx = model.clone(approx_knn=True)
 
     @jax.jit
     def forward_dense(corr_pos, src, tgt):
@@ -111,12 +112,23 @@ def main():
         )
         return out.final_trans, out.final_labels
 
+    @jax.jit
+    def forward_fused_approx(corr_pos, src, tgt):
+        out = model_approx.apply(
+            variables, corr_pos, src, tgt, testing=True, fused_attention=True
+        )
+        return out.final_trans, out.final_labels
+
     rtt = measure_rtt()
     p50_dense = bench_variant(forward_dense, batches)
     p50_fused = bench_variant(forward_fused, batches) if on_tpu else float("inf")
+    p50_fa = (
+        bench_variant(forward_fused_approx, batches) if on_tpu else float("inf")
+    )
 
-    variant = "fused" if p50_fused < p50_dense else "dense"
-    p50 = min(p50_dense, p50_fused)
+    timings = {"dense": p50_dense, "fused": p50_fused, "fused_approx": p50_fa}
+    variant = min(timings, key=timings.get)
+    p50 = timings[variant]
 
     # Throughput: run a stream of pairs inside ONE dispatch (lax.map) and
     # subtract the measured RTT baseline -- this isolates the per-pair device
@@ -125,13 +137,14 @@ def main():
         lambda *xs: jnp.concatenate(xs, axis=0), *batches[:8]
     )
 
-    use_fused = variant == "fused"
+    stream_model = model_approx if variant == "fused_approx" else model
+    use_fused = variant != "dense"
 
     @jax.jit
     def forward_stream(corr_pos, src, tgt):
         def one(args):
             cp, s, t = args
-            out = model.apply(
+            out = stream_model.apply(
                 variables, cp[None], s[None], t[None],
                 testing=True, fused_attention=use_fused,
             )
@@ -160,6 +173,7 @@ def main():
                 "variant": variant,
                 "dense_ms": round(p50_dense * 1000, 3),
                 "fused_ms": round(p50_fused * 1000, 3) if on_tpu else None,
+                "fused_approx_ms": round(p50_fa * 1000, 3) if on_tpu else None,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -1,0 +1,24 @@
+"""approx_knn variant: registration quality matches exact top-k."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointdsc_tpu.models import PointDSC
+from pointdsc_tpu.ops.se3 import decompose_trans, relative_rotation_error
+from tests.test_model import make_synthetic_pair
+
+
+def test_approx_knn_registration_quality(rng):
+    exact = PointDSC(in_dim=6, num_layers=2, num_channels=32, k=20, ratio=0.2)
+    approx = exact.clone(approx_knn=True)
+    cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=256, inlier_ratio=0.6)
+    batch = lambda a: jnp.asarray(a)[None]
+    variables = exact.init(jax.random.key(1), batch(cp), batch(src), batch(tgt))
+
+    for model in (exact, approx):
+        out = model.apply(variables, batch(cp), batch(src), batch(tgt), testing=True)
+        R_pred, t_pred = decompose_trans(out.final_trans)
+        re = float(relative_rotation_error(R_pred[0], jnp.asarray(gt[:3, :3])))
+        te = float(jnp.linalg.norm(t_pred[0, :, 0] - jnp.asarray(gt[:3, 3])))
+        assert re < 2.0 and te < 0.05, (model.approx_knn, re, te)
