@@ -1,0 +1,120 @@
+"""Fused seed-NMS local-max kernel (Pallas TPU).
+
+The matrix-parallel NMS (ops/nms.py, reference PointDSC.py:199-217) needs
+the [N, N] source-keypoint distance matrix. In fused-attention mode that
+matrix is the last remaining O(N^2) HBM object; this kernel computes the
+per-point local-max flag tile-by-tile from a packed [8, N] coordinate strip
+instead:
+
+    is_local_max[i] = all_j ( score[i] >= score[j]  or  dist(i, j) >= R )
+
+Top-k selection over scores * is_local_max stays outside (it is O(N)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+
+
+def pack_nms_geometry(src: jnp.ndarray, scores: jnp.ndarray,
+                      mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[8, N] strip: rows 0-2 src xyz, row 3 |src|^2, row 4 scores (invalid
+    entries forced to -1e9 so they never suppress), rows 5-7 zeros."""
+    n = src.shape[0]
+    src_t = src.T.astype(jnp.float32)
+    sq = jnp.sum(src * src, axis=-1)[None].astype(jnp.float32)
+    s = scores[None].astype(jnp.float32)
+    if mask is not None:
+        s = jnp.where(mask[None], s, _NEG)
+    zeros = jnp.zeros((3, n), jnp.float32)
+    return jnp.concatenate([src_t, sq, s, zeros], axis=0)
+
+
+def _nms_kernel(radius_ref, gq_ref, gk_ref, out_ref, acc):
+    kj = pl.program_id(1)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc[:] = jnp.ones_like(acc)
+
+    r = radius_ref[0, 0]
+    gq = gq_ref[:]  # (8, TQ)
+    gk = gk_ref[:]  # (8, TK)
+    src_q, src_k = gq[0:3, :], gk[0:3, :]
+    sq_q, sq_k = gq[3:4, :], gk[3:4, :]
+    s_q, s_k = gq[4:5, :], gk[4:5, :]
+
+    inner = jax.lax.dot_general(
+        src_q, src_k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TQ, TK)
+    d2 = jnp.maximum(sq_q.T + sq_k - 2.0 * inner, 0.0)
+    free = (s_q.T >= s_k) | (d2 >= r * r)  # (TQ, TK)
+    tile_ok = jnp.min(free.astype(jnp.float32), axis=-1, keepdims=True)  # (TQ, 1)
+    acc[:, 0:1] = jnp.minimum(acc[:, 0:1], tile_ok)
+
+    @pl.when(kj == pl.num_programs(1) - 1)
+    def _finalize():
+        out_ref[:] = acc[:, 0:1].T  # (1, TQ)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _nms_local_max_single(geom, radius, block_q=512, block_k=1024,
+                          interpret=False):
+    n = geom.shape[1]
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    assert n % block_q == 0 and n % block_k == 0
+    grid = (n // block_q, n // block_k)
+    r = jnp.asarray(radius, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        _nms_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, block_q), lambda qi, kj, *_: (0, qi)),
+                pl.BlockSpec((8, block_k), lambda qi, kj, *_: (0, kj)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q), lambda qi, kj, *_: (0, qi)),
+            scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        interpret=interpret,
+    )(r, geom, geom)
+    return out[0]
+
+
+def nms_local_max(src, scores, radius, mask=None, block_q=512, block_k=1024,
+                  interpret=None):
+    """Batched fused local-max flags [B, N] (floats in {0, 1})."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    geom = jax.vmap(lambda s, sc, m: pack_nms_geometry(s, sc, m))(
+        src, scores, mask if mask is not None else jnp.ones(scores.shape, bool)
+    )
+    return jax.vmap(
+        lambda g: _nms_local_max_single(
+            g, radius, block_q=block_q, block_k=block_k, interpret=interpret
+        )
+    )(geom)
+
+
+def pick_seeds_nms_fused(src, scores, radius, max_num, mask=None,
+                         interpret=None):
+    """Drop-in fused variant of ops.nms.pick_seeds_nms (same semantics)."""
+    is_local_max = nms_local_max(src, scores, radius, mask=mask,
+                                 interpret=interpret)
+    key = scores * is_local_max
+    if mask is not None:
+        key = jnp.where(mask, key, -jnp.inf)
+    _, idx = jax.lax.top_k(key, max_num)
+    return idx

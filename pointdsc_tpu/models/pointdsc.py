@@ -95,7 +95,7 @@ class PointDSC(nn.Module):
                 mask=mask,
             )
             compat = None
-            src_dist = jax.lax.stop_gradient(pairwise_dists(src_keypts))
+            src_dist = None  # NMS runs its own fused kernel; no [N,N] in HBM
         else:
             compat, src_dist = jax.lax.stop_gradient(
                 spatial_consistency(
@@ -134,9 +134,17 @@ class PointDSC(nn.Module):
 
         num_seeds = max(1, int(num_corr * self.ratio))
         if testing:
-            seeds = pick_seeds_nms(
-                src_dist, confidence, self.nms_radius, num_seeds, mask=mask
-            )
+            if src_dist is None:  # fused path: tile-wise NMS from coordinates
+                from pointdsc_tpu.kernels.nms import pick_seeds_nms_fused
+
+                seeds = pick_seeds_nms_fused(
+                    jax.lax.stop_gradient(src_keypts), confidence,
+                    self.nms_radius, num_seeds, mask=mask,
+                )
+            else:
+                seeds = pick_seeds_nms(
+                    src_dist, confidence, self.nms_radius, num_seeds, mask=mask
+                )
         else:
             seeds = pick_seeds_topk(confidence, num_seeds, mask=mask)
         seeds = jax.lax.stop_gradient(seeds)
