@@ -88,11 +88,13 @@ def main(argv=None):
         fragment_points = {
             i: dataset._load(i)[0] for i in range(dataset.num_pcds)
         }
+        # PointDSC registers every pair; odometry pairs additionally get ICP
+        # refinement inside build_pose_graph with this estimate as the init
+        # (the reference seeds odometry from per-fragment pose-graph files,
+        # test_multi_ate.py:117-125; the model estimate plays that role when
+        # those files are absent).
         for idx in range(len(dataset)):
             i, j = dataset.pair_ids(idx)
-            if j == i + 1:
-                pairwise[(i, j)] = np.eye(4)  # refined by ICP in build step
-                continue
             sample = dataset[idx]
             padded = pad_to_bucket(sample)
             inputs = (
