@@ -17,6 +17,24 @@ from pointdsc_tpu.train.trainer import Trainer
 from pointdsc_tpu.utils.seed import set_seed
 
 
+def _copy_sources(snapshot_dir):
+    """Reproducibility snapshot: copy the training-relevant sources into the
+    snapshot dir (reference train_3DMatch.py:24-33)."""
+    import shutil
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for rel in (
+        "train_3DMatch.py",
+        "pointdsc_tpu/train/trainer.py",
+        "pointdsc_tpu/train/losses.py",
+        "pointdsc_tpu/models/pointdsc.py",
+        "pointdsc_tpu/data/threedmatch.py",
+    ):
+        src = os.path.join(here, rel)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(snapshot_dir, os.path.basename(rel)))
+
+
 def main(argv=None):
     cfg = get_config("3DMatch", argv)
     set_seed(cfg.seed)
@@ -24,6 +42,7 @@ def main(argv=None):
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     os.makedirs(cfg.save_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.snapshot_dir, "config.json"))
+    _copy_sources(cfg.snapshot_dir)
 
     common = dict(
         root=cfg.root,
