@@ -87,6 +87,7 @@ def main(argv=None):
     evaluator = Evaluator(
         model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre,
         use_icp=args.use_icp, icp_threshold=cfg.inlier_threshold,
+        solver=args.solver,
     )
     stats, agg = evaluator.run_dataset(dataset)
     report = format_scene_report(agg)

@@ -9,13 +9,11 @@ that size reuses the executable. Model time is measured with
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointdsc_tpu.data.pipeline import bucket_size, pad_to_bucket
+from pointdsc_tpu.data.pipeline import pad_to_bucket
 from pointdsc_tpu.eval.protocol import aggregate_stats, pair_stats
 from pointdsc_tpu.models.pointdsc import PointDSC
 from pointdsc_tpu.utils.timer import Timer
@@ -31,7 +29,11 @@ class Evaluator:
         use_icp: bool = False,
         icp_threshold: float = 0.10,
         fused_attention: bool = False,
+        solver: str = "SVD",
     ):
+        """solver='SVD' uses the model transform; solver='RANSAC' re-solves
+        on the model-prefiltered inliers with the on-device RANSAC
+        (reference test_3DMatch.py:59-77 runs Open3D RANSAC there)."""
         self.model = model
         self.variables = variables
         self.re_thre = re_thre
@@ -44,6 +46,15 @@ class Evaluator:
                 testing=True, fused_attention=fused_attention,
             )
             trans = out.final_trans
+            if solver == "RANSAC":
+                from pointdsc_tpu.baselines.classical import ransac_registration
+
+                inlier_mask = (out.final_labels > 0) & mask
+                trans, _ = ransac_registration(
+                    src_keypts, tgt_keypts, jax.random.key(51),
+                    inlier_threshold=icp_threshold, num_hypotheses=4096,
+                    mask=inlier_mask,
+                )
             if use_icp:
                 # ICP polish on the correspondence keypoint clouds
                 # (reference icp_refine, benchmark_utils.py:40-56), fused

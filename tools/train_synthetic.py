@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Production-scale training smoke run on synthetic data.
+
+Runs the real Trainer (12 layers x 128 channels, bs=16, N=1000 -- the
+reference 3DMatch training shape) on synthetic registration pairs, on
+whatever backend is active. Verifies on hardware that the full jitted
+train step learns: classification/SM losses must drop and val recall
+stay high. Writes a real snapshot (config.json + checkpoints).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=150)
+    parser.add_argument("--num_pairs", type=int, default=2400)
+    parser.add_argument("--snapshot_dir", type=str, default="snapshot/synthetic_run")
+    args = parser.parse_args(argv)
+
+    from pointdsc_tpu.data import Loader, SyntheticPairDataset
+    from pointdsc_tpu.train.config import default_config
+    from pointdsc_tpu.train.trainer import Trainer
+    from pointdsc_tpu.utils.seed import set_seed
+
+    cfg = default_config("3DMatch")
+    cfg.max_epoch = args.epochs
+    cfg.training_max_iter = args.iters
+    cfg.val_max_iter = 8
+    cfg.snapshot_dir = args.snapshot_dir
+    cfg.save_dir = os.path.join(args.snapshot_dir, "models")
+    cfg.tboard_dir = os.path.join(args.snapshot_dir, "tb")
+    cfg.exp_id = "synthetic_run"
+    set_seed(cfg.seed)
+    os.makedirs(cfg.snapshot_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.snapshot_dir, "config.json"))
+
+    train_ds = SyntheticPairDataset(
+        num_pairs=args.num_pairs, num_corr=cfg.num_node,
+        inlier_ratio=0.35, seed=0,
+    )
+    val_ds = SyntheticPairDataset(
+        num_pairs=128, num_corr=cfg.num_node, inlier_ratio=0.35, seed=9999
+    )
+    train_loader = Loader(train_ds, cfg.batch_size, shuffle=True, num_workers=8)
+    val_loader = Loader(val_ds, cfg.batch_size, shuffle=False, num_workers=8)
+
+    trainer = Trainer(cfg)
+    example = next(iter(train_loader))
+    state = trainer.init_state(example, steps_per_epoch=len(train_loader))
+    trainer.build_steps()
+
+    res0 = trainer.evaluate(val_loader, state)
+    state = trainer.train(train_loader, val_loader, state)
+    res1 = trainer.evaluate(val_loader, state)
+    print(
+        f"RESULT class_loss {res0['class_loss']:.4f} -> {res1['class_loss']:.4f} | "
+        f"sm_loss {res0['sm_loss']:.4f} -> {res1['sm_loss']:.4f} | "
+        f"f1 {res0['f1']:.3f} -> {res1['f1']:.3f} | "
+        f"recall {res0['reg_recall']:.1f} -> {res1['reg_recall']:.1f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,6 @@ snapshot/<exp_id>/ exactly like the reference (train_3DMatch.py:21-33).
 """
 
 import os
-import sys
 
 from pointdsc_tpu.data.pipeline import Loader
 from pointdsc_tpu.data.threedmatch import ThreeDMatchTrainVal
