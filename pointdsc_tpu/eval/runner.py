@@ -84,10 +84,11 @@ class Evaluator:
             jnp.asarray(padded["tgt_keypts"])[None],
             jnp.asarray(padded["mask"])[None],
         )
-        model_time = t.toc(average=False, block_on=trans)
-
+        # the host fetch is the only reliable sync point on tunneled/async
+        # backends, so model_time is measured around it
         trans = np.asarray(trans)[0]
         labels = np.asarray(labels)[0][:n]
+        model_time = t.toc(average=False)
         return (
             pair_stats(
                 trans,
@@ -152,8 +153,8 @@ class Evaluator:
                 jnp.asarray(batch["tgt_keypts"]),
                 jnp.asarray(batch["mask"]),
             )
-            model_time = t.toc(average=False, block_on=trans) / len(items)
             trans, labels = np.asarray(trans), np.asarray(labels)
+            model_time = t.toc(average=False) / len(items)
             for slot, (idx, padded) in enumerate(items[:n_dev]):
                 if rows[idx] is not None:
                     continue

@@ -83,7 +83,11 @@ class Trainer:
             k=cfg.k,
             nms_radius=cfg.nms_radius,
         )
-        self.mesh = make_mesh(cfg.num_devices)
+        # data parallelism requires batch_size % n_devices == 0; use the
+        # largest device count that divides the batch
+        n_avail = cfg.num_devices or jax.device_count()
+        n_use = max(d for d in range(1, n_avail + 1) if cfg.batch_size % d == 0)
+        self.mesh = make_mesh(n_use)
         self.logger = MetricsLogger(cfg.tboard_dir) if cfg.tboard_dir else None
         self._train_step = None
         self._eval_step = None
