@@ -60,6 +60,25 @@ def pack_geometry(src, tgt, mask=None):
     return jnp.concatenate([src_t, src_sq, tgt_t, tgt_sq, bias, zeros], axis=0)
 
 
+def _compat_tile(gq, gk, sigma_d):
+    """Spatial-compatibility tile (TQ, TK) from packed geometry strips."""
+    f32 = jnp.float32
+    src_q, src_k = gq[0:3, :], gk[0:3, :]
+    tgt_q, tgt_k = gq[4:7, :], gk[4:7, :]
+    sq_src_q, sq_src_k = gq[3:4, :], gk[3:4, :]
+    sq_tgt_q, sq_tgt_k = gq[7:8, :], gk[7:8, :]
+    inner_src = jax.lax.dot_general(
+        src_q, src_k, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    inner_tgt = jax.lax.dot_general(
+        tgt_q, tgt_k, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    d_src = jnp.sqrt(jnp.maximum(sq_src_q.T + sq_src_k - 2.0 * inner_src, 0.0))
+    d_tgt = jnp.sqrt(jnp.maximum(sq_tgt_q.T + sq_tgt_k - 2.0 * inner_tgt, 0.0))
+    diff = d_src - d_tgt
+    return jnp.maximum(1.0 - diff * diff / (sigma_d * sigma_d), 0.0)
+
+
 def _sc_attention_kernel(
     sigma_ref,  # SMEM (1, 1): sigma_d
     q_ref,  # VMEM (TQ, C)
@@ -87,29 +106,8 @@ def _sc_attention_kernel(
     # --- compatibility tile from coordinates (recomputed in VMEM) ---------
     gq = geom_q_ref[:]  # (16, TQ)
     gk = geom_k_ref[:]  # (16, TK)
-    src_q, src_k = gq[0:3, :], gk[0:3, :]  # (3, T)
-    tgt_q, tgt_k = gq[4:7, :], gk[4:7, :]
-    sq_src_q = gq[3:4, :]  # (1, TQ)
-    sq_src_k = gk[3:4, :]
-    sq_tgt_q = gq[7:8, :]
-    sq_tgt_k = gk[7:8, :]
     bias_k = gk[8:9, :]  # (1, TK)
-
-    # d^2 = |a|^2 + |b|^2 - 2 a.b  via (TQ,3)x(3,TK) matmul
-    inner_src = jax.lax.dot_general(
-        src_q, src_k, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )  # (TQ, TK)
-    inner_tgt = jax.lax.dot_general(
-        tgt_q, tgt_k, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    d_src = jnp.sqrt(
-        jnp.maximum(sq_src_q.T + sq_src_k - 2.0 * inner_src, 0.0)
-    )
-    d_tgt = jnp.sqrt(
-        jnp.maximum(sq_tgt_q.T + sq_tgt_k - 2.0 * inner_tgt, 0.0)
-    )
-    diff = d_src - d_tgt
-    compat = jnp.maximum(1.0 - diff * diff / (sigma_d * sigma_d), 0.0)
+    compat = _compat_tile(gq, gk, sigma_d)
 
     # --- SC-modulated logits ---------------------------------------------
     c = q_ref.shape[-1]
@@ -222,6 +220,278 @@ def fused_sc_attention(
     return jax.vmap(lambda qq, kk, vv, gg: fn(qq, kk, vv, gg, sigma_d))(
         q, k, v, geom
     )
+
+
+# ======================================================================
+# Trainable path: flash-style forward (saving the softmax LSE) + backward
+# kernels, packaged as a custom VJP. Nothing O(N^2) in HBM in either pass.
+# ======================================================================
+
+
+def _sc_attention_fwd_kernel(
+    sigma_ref, q_ref, k_ref, v_ref, geom_q_ref, geom_k_ref,
+    out_ref, lse_ref,  # outputs: (TQ, C), (1, TQ)
+    m_scr, l_scr, acc_scr,
+):
+    kj = pl.program_id(1)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    f32 = jnp.float32
+    sigma_d = sigma_ref[0, 0]
+    gq, gk = geom_q_ref[:], geom_k_ref[:]
+    bias_k = gk[8:9, :]
+    compat = _compat_tile(gq, gk, sigma_d)
+
+    c = q_ref.shape[-1]
+    logits = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * (1.0 / (c**0.5))
+    s = compat * logits + bias_k
+
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+    @pl.when(kj == pl.num_programs(1) - 1)
+    def _finalize():
+        out_ref[:] = acc_scr[:] / (l_scr[:, 0:1] + 1e-30)
+        lse_ref[:] = (m_scr[:, 0:1] + jnp.log(l_scr[:, 0:1] + 1e-30)).T
+
+
+def _recompute_p(sigma_ref, gq, gk, q_tile, k_tile, lse_tile):
+    """Exact softmax probabilities for a (TQ, TK) tile from saved LSE.
+    Returns (p, compat)."""
+    f32 = jnp.float32
+    sigma_d = sigma_ref[0, 0]
+    bias_k = gk[8:9, :]
+    compat = _compat_tile(gq, gk, sigma_d)
+    c = q_tile.shape[-1]
+    logits = jax.lax.dot_general(
+        q_tile, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * (1.0 / (c**0.5))
+    s = compat * logits + bias_k
+    p = jnp.exp(s - lse_tile.T)  # (TQ, TK)
+    return p, compat
+
+
+def _sc_attention_bwd_dq_kernel(
+    sigma_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
+    geom_q_ref, geom_k_ref,
+    dq_ref,  # output (TQ, C)
+    dq_scr,  # VMEM (TQ, C)
+):
+    kj = pl.program_id(1)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    f32 = jnp.float32
+    p, compat = _recompute_p(
+        sigma_ref, geom_q_ref[:], geom_k_ref[:], q_ref[:], k_ref[:], lse_ref[:]
+    )
+    dp = jax.lax.dot_general(  # dO @ V^T: (TQ, TK)
+        do_ref[:], v_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    ds = p * (dp - dvec_ref[:].T)  # softmax backward with D = rowsum(dO*O)
+    c = q_ref.shape[-1]
+    dlogits = ds * compat * (1.0 / (c**0.5))
+    dq_scr[:] += jax.lax.dot_general(  # (TQ, TK) @ (TK, C)
+        dlogits.astype(k_ref.dtype), k_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    @pl.when(kj == pl.num_programs(1) - 1)
+    def _finalize():
+        dq_ref[:] = dq_scr[:]
+
+
+def _sc_attention_bwd_dkv_kernel(
+    sigma_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
+    geom_q_ref, geom_k_ref,
+    dk_ref, dv_ref,  # outputs (TK, C)
+    dk_scr, dv_scr,
+):
+    qi = pl.program_id(1)  # inner loop over query tiles for a fixed key tile
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    f32 = jnp.float32
+    p, compat = _recompute_p(
+        sigma_ref, geom_q_ref[:], geom_k_ref[:], q_ref[:], k_ref[:], lse_ref[:]
+    )
+    dv_scr[:] += jax.lax.dot_general(  # P^T @ dO: (TK, C)
+        p.astype(do_ref.dtype), do_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[:], v_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    ds = p * (dp - dvec_ref[:].T)
+    c = q_ref.shape[-1]
+    dlogits = ds * compat * (1.0 / (c**0.5))
+    dk_scr[:] += jax.lax.dot_general(  # dlogits^T @ Q: (TK, C)
+        dlogits.astype(q_ref.dtype), q_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    @pl.when(qi == pl.num_programs(1) - 1)
+    def _finalize():
+        dk_ref[:] = dk_scr[:]
+        dv_ref[:] = dv_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _fwd_single(q, k, v, geom, sigma_d, block_q=512, block_k=1024,
+                interpret=False):
+    n, c = q.shape
+    bq, bk = min(block_q, n), min(block_k, n)
+    assert n % bq == 0 and n % bk == 0
+    sigma = jnp.asarray(sigma_d, jnp.float32).reshape(1, 1)
+    out, lse = pl.pallas_call(
+        _sc_attention_fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // bq, n // bk),
+            in_specs=[
+                pl.BlockSpec((bq, c), lambda qi, kj, *_: (qi, 0)),
+                pl.BlockSpec((bk, c), lambda qi, kj, *_: (kj, 0)),
+                pl.BlockSpec((bk, c), lambda qi, kj, *_: (kj, 0)),
+                pl.BlockSpec((16, bq), lambda qi, kj, *_: (0, qi)),
+                pl.BlockSpec((16, bk), lambda qi, kj, *_: (0, kj)),
+            ],
+            out_specs=(
+                pl.BlockSpec((bq, c), lambda qi, kj, *_: (qi, 0)),
+                pl.BlockSpec((1, bq), lambda qi, kj, *_: (0, qi)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, c), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )(sigma, q, k, v, geom, geom)
+    return out, lse
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _bwd_single(q, k, v, geom, lse, o, do, sigma_d, block_q=512, block_k=1024,
+                interpret=False):
+    n, c = q.shape
+    bq, bk = min(block_q, n), min(block_k, n)
+    sigma = jnp.asarray(sigma_d, jnp.float32).reshape(1, 1)
+    dvec = jnp.sum(do * o, axis=-1)[None].astype(jnp.float32)  # (1, N)
+
+    dq = pl.pallas_call(
+        _sc_attention_bwd_dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // bq, n // bk),
+            in_specs=[
+                pl.BlockSpec((bq, c), lambda qi, kj, *_: (qi, 0)),
+                pl.BlockSpec((bk, c), lambda qi, kj, *_: (kj, 0)),
+                pl.BlockSpec((bk, c), lambda qi, kj, *_: (kj, 0)),
+                pl.BlockSpec((bq, c), lambda qi, kj, *_: (qi, 0)),  # dO
+                pl.BlockSpec((1, bq), lambda qi, kj, *_: (0, qi)),  # lse
+                pl.BlockSpec((1, bq), lambda qi, kj, *_: (0, qi)),  # D
+                pl.BlockSpec((16, bq), lambda qi, kj, *_: (0, qi)),
+                pl.BlockSpec((16, bk), lambda qi, kj, *_: (0, kj)),
+            ],
+            out_specs=pl.BlockSpec((bq, c), lambda qi, kj, *_: (qi, 0)),
+            scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        interpret=interpret,
+    )(sigma, q, k, v, do, lse, dvec, geom, geom)
+
+    dk, dv = pl.pallas_call(
+        _sc_attention_bwd_dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // bk, n // bq),  # key tiles outer, query tiles inner
+            in_specs=[
+                pl.BlockSpec((bq, c), lambda ki, qj, *_: (qj, 0)),
+                pl.BlockSpec((bk, c), lambda ki, qj, *_: (ki, 0)),
+                pl.BlockSpec((bk, c), lambda ki, qj, *_: (ki, 0)),
+                pl.BlockSpec((bq, c), lambda ki, qj, *_: (qj, 0)),  # dO
+                pl.BlockSpec((1, bq), lambda ki, qj, *_: (0, qj)),  # lse
+                pl.BlockSpec((1, bq), lambda ki, qj, *_: (0, qj)),  # D
+                pl.BlockSpec((16, bq), lambda ki, qj, *_: (0, qj)),
+                pl.BlockSpec((16, bk), lambda ki, qj, *_: (0, ki)),
+            ],
+            out_specs=(
+                pl.BlockSpec((bk, c), lambda ki, qj, *_: (ki, 0)),
+                pl.BlockSpec((bk, c), lambda ki, qj, *_: (ki, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bk, c), jnp.float32),
+                pltpu.VMEM((bk, c), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(sigma, q, k, v, do, lse, dvec, geom, geom)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def sc_attention_trainable(q, k, v, geom, sigma_d, block_q=512, block_k=1024,
+                           interpret=False):
+    """Differentiable fused SC attention for a single pair.
+
+    Same math as `_fused_sc_attention_single`, but with flash-style Pallas
+    backward kernels (dQ / dK,dV) so large-N *training* also never
+    materializes an [N, N] matrix. Geometry is non-differentiable (the model
+    stops gradients at the coordinates, PointDSC.py:150 computes the compat
+    matrix under no_grad).
+    """
+    out, _ = _fwd_single(q, k, v, geom, sigma_d, block_q=block_q,
+                         block_k=block_k, interpret=interpret)
+    return out
+
+
+def _trainable_fwd(q, k, v, geom, sigma_d, block_q, block_k, interpret):
+    out, lse = _fwd_single(q, k, v, geom, sigma_d, block_q=block_q,
+                           block_k=block_k, interpret=interpret)
+    return out, (q, k, v, geom, lse, out)
+
+
+def _trainable_bwd(sigma_d, block_q, block_k, interpret, res, do):
+    q, k, v, geom, lse, out = res
+    dq, dk, dv = _bwd_single(q, k, v, geom, lse, out, do, sigma_d,
+                             block_q=block_q, block_k=block_k,
+                             interpret=interpret)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), \
+        jnp.zeros_like(geom)
+
+
+sc_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=512, block_k=1024,
