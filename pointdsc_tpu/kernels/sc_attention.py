@@ -495,11 +495,33 @@ sc_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=512, block_k=1024,
-                         interpret=None):
+                         interpret=None, trainable=False):
     """Adapter producing the `attention_fn(q, k, v, mask)` hook consumed by
     NonLocalBlock: closes over the pair geometry so each of the 12 layers
     recomputes compatibility tiles on the fly instead of reading a shared
-    [N, N] matrix from HBM."""
+    [N, N] matrix from HBM.
+
+    trainable=True routes through the custom-VJP kernels so gradients flow
+    to q/k/v (required when the encoder trains with fused attention)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if trainable:
+        if mask is None:
+            geom = jax.vmap(lambda s, t: pack_geometry(s, t, None))(src, tgt)
+        else:
+            geom = jax.vmap(pack_geometry)(src, tgt, mask)
+
+        def attention_fn(q, k, v, inner_mask):
+            del inner_mask
+            return jax.vmap(
+                lambda qq, kk, vv, gg: sc_attention_trainable(
+                    qq, kk, vv, gg, sigma_d, block_q, block_k, interpret
+                )
+            )(q.astype(jnp.float32), k.astype(jnp.float32),
+              v.astype(jnp.float32), geom)
+
+        return attention_fn
 
     def attention_fn(q, k, v, inner_mask):
         del inner_mask  # already encoded in the geometry bias row

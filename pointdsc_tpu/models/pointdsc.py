@@ -93,6 +93,7 @@ class PointDSC(nn.Module):
                 jax.lax.stop_gradient(tgt_keypts),
                 self.sigma_d,
                 mask=mask,
+                trainable=train,  # custom-VJP kernels when gradients flow
             )
             compat = None
             src_dist = None  # NMS runs its own fused kernel; no [N,N] in HBM
