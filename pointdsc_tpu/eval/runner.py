@@ -38,6 +38,10 @@ class Evaluator:
         self.variables = variables
         self.re_thre = re_thre
         self.te_thre = te_thre
+        self._use_icp = use_icp
+        self._icp_threshold = icp_threshold
+        self._fused_attention = fused_attention
+        self._solver = solver
 
         @jax.jit
         def _forward(corr_pos, src_keypts, tgt_keypts, mask):
@@ -187,13 +191,37 @@ class Evaluator:
     def _forward_batch(self):
         if not hasattr(self, "_forward_batch_fn"):
             model, variables = self.model, self.variables
+            solver, use_icp = self._solver, self._use_icp
+            icp_thr, fused = self._icp_threshold, self._fused_attention
 
             @jax.jit
             def fwd(corr_pos, src, tgt, mask):
                 out = model.apply(
-                    variables, corr_pos, src, tgt, mask=mask, testing=True
+                    variables, corr_pos, src, tgt, mask=mask,
+                    testing=True, fused_attention=fused,
                 )
-                return out.final_trans, out.final_labels
+                trans = out.final_trans
+                if solver == "RANSAC":
+                    from pointdsc_tpu.baselines.classical import ransac_registration
+
+                    inlier_mask = (out.final_labels > 0) & mask
+                    trans, _ = ransac_registration(
+                        src, tgt, jax.random.key(51),
+                        inlier_threshold=icp_thr, num_hypotheses=4096,
+                        mask=inlier_mask,
+                    )
+                if use_icp:
+                    from pointdsc_tpu.ops.icp import icp_point_to_point
+
+                    def one(s, t, tr, m):
+                        tr2, _, _ = icp_point_to_point(
+                            s, t, tr, max_correspondence_distance=icp_thr,
+                            src_mask=m, tgt_mask=m,
+                        )
+                        return tr2
+
+                    trans = jax.vmap(one)(src, tgt, trans, mask)
+                return trans, out.final_labels
 
             self._forward_batch_fn = fwd
         return self._forward_batch_fn

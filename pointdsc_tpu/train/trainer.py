@@ -129,7 +129,8 @@ class Trainer:
         class_loss = classification_loss(
             out.final_labels, gt_labels, mask, balanced=cfg.balanced
         )
-        sm_loss = spectral_matching_loss(out.M, gt_labels, mask, balanced=True)
+        # reference wires config.balanced into BOTH losses (train_3DMatch.py:104-105)
+        sm_loss = spectral_matching_loss(out.M, gt_labels, mask, balanced=cfg.balanced)
         tl = transformation_loss(
             out.final_trans,
             batch["gt_trans"],
@@ -210,7 +211,9 @@ class Trainer:
             class_loss = classification_loss(
                 out.final_labels, gt_labels, mask, balanced=cfg.balanced
             )
-            sm_loss = spectral_matching_loss(out.M, gt_labels, mask)
+            sm_loss = spectral_matching_loss(
+                out.M, gt_labels, mask, balanced=cfg.balanced
+            )
             tl = transformation_loss(
                 out.final_trans,
                 batch["gt_trans"],
