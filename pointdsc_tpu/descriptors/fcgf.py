@@ -26,7 +26,8 @@ import numpy as np
 import flax.linen as nn
 
 
-def voxelize(points: np.ndarray, voxel_size: float, grid_size: int):
+def voxelize(points: np.ndarray, voxel_size: float, grid_size: int,
+             origin: np.ndarray | None = None):
     """Quantize points to a dense grid.
 
     Returns (occupancy [D,D,D,1] float32, indices [N, 3] int32 clipped to the
@@ -34,7 +35,7 @@ def voxelize(points: np.ndarray, voxel_size: float, grid_size: int):
     (callers should tile large clouds instead).
     """
     pts = np.asarray(points, np.float64)
-    origin = pts.min(0)
+    origin = pts.min(0) if origin is None else np.asarray(origin, np.float64)
     idx = np.floor((pts - origin) / voxel_size).astype(np.int32)
     idx = np.clip(idx, 0, grid_size - 1)
     occ = np.zeros((grid_size, grid_size, grid_size, 1), np.float32)
@@ -112,15 +113,62 @@ def extract_features(
     points: np.ndarray,
     voxel_size: float = 0.05,
     grid_size: int = 96,
+    origin: np.ndarray | None = None,
 ):
     """Per-point descriptors (API parity with misc/cal_fcgf.py:57-85).
 
     Returns (unique voxel-center keypts [M, 3], features [M, out_dim]).
     """
-    occ, idx, origin = voxelize(points, voxel_size, grid_size)
+    occ, idx, origin = voxelize(points, voxel_size, grid_size, origin=origin)
     # unique occupied voxels play the role of the sparse tensor coordinates
     uniq, uidx = np.unique(idx, axis=0, return_index=True)
     grid = model.apply(variables, jnp.asarray(occ)[None], train=False)[0]
     feats = np.asarray(grid[uniq[:, 0], uniq[:, 1], uniq[:, 2]])
     keypts = (uniq.astype(np.float64) + 0.5) * voxel_size + origin
     return keypts.astype(np.float32), feats
+
+
+def extract_features_tiled(
+    model: VoxelFCGF,
+    variables,
+    points: np.ndarray,
+    voxel_size: float = 0.30,
+    grid_size: int = 96,
+    halo: int = 8,
+):
+    """Outdoor-scale extraction (KITTI at 30 cm voxels over ~100 m): the
+    cloud is processed in overlapping spatial tiles of `grid_size` voxels;
+    each point's descriptor comes from the tile whose interior contains it
+    (the `halo` border absorbs convolution boundary effects).
+
+    Returns (keypts [M, 3], features [M, out_dim]) over all occupied voxels.
+    """
+    pts = np.asarray(points, np.float64)
+    origin = pts.min(0)
+    extent = int(grid_size - 2 * halo)
+    tile_idx = np.floor((pts - origin) / (voxel_size * extent)).astype(np.int64)
+
+    all_k, all_f = [], []
+    for t in np.unique(tile_idx, axis=0):
+        tile_origin = origin + t * voxel_size * extent - halo * voxel_size
+        local = pts - tile_origin
+        inside = np.all(
+            (local >= 0) & (local < grid_size * voxel_size), axis=1
+        )
+        interior = np.all(tile_idx == t, axis=1)
+        sel = pts[inside | interior]
+        if len(sel) == 0:
+            continue
+        keypts, feats = extract_features(
+            model, variables, sel - tile_origin, voxel_size, grid_size,
+            origin=np.zeros(3),  # pin the tile grid to tile_origin
+        )
+        keypts = keypts + tile_origin
+        # keep only interior voxels (avoid duplicates across tiles)
+        rel = (keypts - (origin + t * voxel_size * extent)) / (voxel_size * extent)
+        keep = np.all((rel >= 0) & (rel < 1.0), axis=1)
+        all_k.append(keypts[keep])
+        all_f.append(feats[keep])
+    if not all_k:
+        return np.zeros((0, 3), np.float32), np.zeros((0, model.out_dim), np.float32)
+    return np.concatenate(all_k), np.concatenate(all_f)

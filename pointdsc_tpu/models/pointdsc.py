@@ -59,6 +59,7 @@ class PointDSC(nn.Module):
     attention_fn: Callable | None = None  # pluggable fused attention kernel
     half_precision: bool = False  # bf16 encoder matmuls, f32 accumulation
     approx_knn: bool = False  # TPU-optimized approx top-k for NSM neighbors
+    remat: bool = False  # rematerialize encoder layers (training memory)
 
     @nn.compact
     def __call__(
@@ -108,7 +109,14 @@ class PointDSC(nn.Module):
                 )
             )
 
-        encoder = NonLocalNet(
+        encoder_cls = NonLocalNet
+        if self.remat:
+            # trade FLOPs for HBM during training: each encoder layer's
+            # activations are recomputed in the backward pass. (`train` is
+            # positional arg 3 of NonLocalNet.__call__ and must be static.)
+            assert attention_fn is None, "remat with fused attention unsupported"
+            encoder_cls = nn.remat(NonLocalNet, static_argnums=(4,))
+        encoder = encoder_cls(
             in_dim=self.in_dim,
             num_layers=self.num_layers,
             num_channels=self.num_channels,
@@ -116,9 +124,12 @@ class PointDSC(nn.Module):
             compute_dtype=jnp.bfloat16 if self.half_precision else jnp.float32,
             name="encoder",
         )
-        corr_features = encoder(
-            corr_pos, compat, mask=mask, train=train, attention_fn=attention_fn
-        )
+        if self.remat:
+            corr_features = encoder(corr_pos, compat, mask, train)
+        else:
+            corr_features = encoder(
+                corr_pos, compat, mask=mask, train=train, attention_fn=attention_fn
+            )
         # safe L2 normalize (finite gradient even for a zero feature vector)
         feat_sq = jnp.sum(corr_features * corr_features, axis=-1, keepdims=True)
         normed_features = corr_features / jnp.sqrt(feat_sq + 1e-12)

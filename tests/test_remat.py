@@ -1,0 +1,31 @@
+"""remat option: gradients identical to the non-remat path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointdsc_tpu.models import PointDSC
+from pointdsc_tpu.train.losses import classification_loss
+from tests.test_model import make_synthetic_pair
+
+
+def test_remat_grads_match(rng):
+    base = PointDSC(in_dim=6, num_layers=2, num_channels=32, k=12, ratio=0.2)
+    rem = base.clone(remat=True)
+    cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=128)
+    batch = lambda a: jnp.asarray(a)[None]
+    variables = base.init(jax.random.key(0), batch(cp), batch(src), batch(tgt))
+    lab_j = jnp.asarray(lab)[None]
+
+    def loss_fn(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch(cp), batch(src), batch(tgt),
+            train=True, mutable=["batch_stats"],
+        )
+        return classification_loss(out.final_labels, lab_j)
+
+    g0 = jax.grad(lambda p: loss_fn(p, base))(variables["params"])
+    g1 = jax.grad(lambda p: loss_fn(p, rem))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
