@@ -76,9 +76,20 @@ def build_fragment(
                                     max_correspondence_distance=0.07)
         poses = [np.asarray(p) for p in graph.poses]
 
-    # choose the volume origin from the first frame's view frustum
+    # volume origin from the observed geometry: center the grid on the
+    # first frame's backprojected points (fragment frame == camera 0 frame)
+    from pointdsc_tpu.fusion.camera import backproject_depth
+
+    pts0, valid0 = backproject_depth(
+        jnp.asarray(depths[0], jnp.float32), intr, depth_trunc=depth_trunc
+    )
+    pts0 = np.asarray(pts0)[np.asarray(valid0)]
     vol_extent = np.asarray(grid_dims) * voxel_size
-    origin = np.array([-vol_extent[0] / 2, -vol_extent[1] / 2, 0.0])
+    if len(pts0):
+        center = 0.5 * (pts0.min(0) + pts0.max(0))
+    else:
+        center = np.array([0.0, 0.0, vol_extent[2] / 2])
+    origin = center - vol_extent / 2
     vol = TSDFVolume(origin=origin, voxel_size=voxel_size, sdf_trunc=sdf_trunc,
                      dims=grid_dims)
     for depth, pose in zip(depths, poses):

@@ -52,6 +52,10 @@ def depth_odometry(
     """
     if init_trans is None:
         init_trans = jnp.eye(4)
+    # pin everything to f32 (x64 mode would otherwise mix dtypes in the scan)
+    init_trans = jnp.asarray(init_trans, jnp.float32)
+    depth_src = jnp.asarray(depth_src, jnp.float32)
+    depth_tgt = jnp.asarray(depth_tgt, jnp.float32)
 
     src_pts, src_valid = backproject_depth(depth_src, intr)
     # subsample for speed (stride^2 fewer residuals)
@@ -91,7 +95,7 @@ def depth_odometry(
         r = jnp.sum(n * (warped - q), axis=-1)
         Jw = jnp.cross(warped, n)
         J = jnp.concatenate([Jw, n], axis=-1)  # [N, 6]
-        H = jnp.einsum("ni,nj,n->ij", J, J, wgt) + 1e-6 * jnp.eye(6)
+        H = jnp.einsum("ni,nj,n->ij", J, J, wgt) + 1e-6 * jnp.eye(6, dtype=J.dtype)
         b = jnp.einsum("ni,n,n->i", J, r, wgt)
         xi = -jnp.linalg.solve(H, b)
         delta = se3_exp(xi)
