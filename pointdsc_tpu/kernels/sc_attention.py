@@ -223,6 +223,120 @@ def fused_sc_attention(
 
 
 # ======================================================================
+# Cached-compat variant: the 12 encoder layers share one spatial-consistency
+# matrix (reference PointDSC.py:150-155 computes it once). Recomputing it
+# per layer costs two MXU passes per tile (K=3 contractions pad to the full
+# 128-deep systolic array) plus the sqrt work -- at N=20k that is ~half the
+# kernel time. This variant reads a once-materialized bf16 compat matrix
+# tile-by-tile instead: one 2N^2-byte HBM object written once and streamed
+# 12 times (~0.8 GB at N=20k), softmax still fused, nothing else O(N^2).
+# ======================================================================
+
+
+def _sc_attention_cached_kernel(
+    q_ref,  # VMEM (TQ, C)
+    k_ref,  # VMEM (TK, C)
+    v_ref,  # VMEM (TK, C)
+    compat_ref,  # VMEM (TQ, TK) bf16/f32 cached compatibility tile
+    geom_k_ref,  # VMEM (16, TK): row 8 = key bias
+    out_ref,  # VMEM (TQ, C)
+    m_scr,
+    l_scr,
+    acc_scr,
+):
+    kj = pl.program_id(1)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    f32 = jnp.float32
+    bias_k = geom_k_ref[8:9, :]
+    compat = compat_ref[:].astype(f32)
+
+    c = q_ref.shape[-1]
+    logits = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * (1.0 / (c**0.5))
+    s = compat * logits + bias_k
+
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+    @pl.when(kj == pl.num_programs(1) - 1)
+    def _finalize():
+        out_ref[:] = acc_scr[:] / (l_scr[:, 0:1] + 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _fused_sc_attention_cached_single(
+    q, k, v, compat, geom, block_q=512, block_k=1024, interpret=False
+):
+    n, c = q.shape
+    bq, bk = min(block_q, n), min(block_k, n)
+    assert n % bq == 0 and n % bk == 0
+    return pl.pallas_call(
+        _sc_attention_cached_kernel,
+        grid=(n // bq, n // bk),
+        in_specs=[
+            pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
+            pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
+            pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
+            pl.BlockSpec((bq, bk), lambda qi, kj: (qi, kj)),
+            pl.BlockSpec((16, bk), lambda qi, kj: (0, kj)),
+        ],
+        out_specs=pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, c), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, compat, geom)
+
+
+def fused_sc_attention_cached(
+    q, k, v, compat, src, tgt, mask=None, block_q=512, block_k=1024,
+    interpret=None, use_bf16=True,
+):
+    """Batched cached-compat fused attention.
+
+    Args:
+        compat: [B, N, N] precomputed compatibility (bf16 recommended).
+        src/tgt/mask: only used to build the key-bias strip.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if mask is None:
+        geom = jax.vmap(lambda s, t: pack_geometry(s, t, None))(src, tgt)
+    else:
+        geom = jax.vmap(pack_geometry)(src, tgt, mask)
+    if use_bf16 and not interpret:
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+    fn = functools.partial(
+        _fused_sc_attention_cached_single,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return jax.vmap(fn)(q, k, v, compat, geom)
+
+
+# ======================================================================
 # Trainable path: flash-style forward (saving the softmax LSE) + backward
 # kernels, packaged as a custom VJP. Nothing O(N^2) in HBM in either pass.
 # ======================================================================
@@ -495,16 +609,29 @@ sc_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=512, block_k=1024,
-                         interpret=None, trainable=False):
+                         interpret=None, trainable=False, compat_cache=None):
     """Adapter producing the `attention_fn(q, k, v, mask)` hook consumed by
     NonLocalBlock: closes over the pair geometry so each of the 12 layers
     recomputes compatibility tiles on the fly instead of reading a shared
     [N, N] matrix from HBM.
 
     trainable=True routes through the custom-VJP kernels so gradients flow
-    to q/k/v (required when the encoder trains with fused attention)."""
+    to q/k/v (required when the encoder trains with fused attention).
+    compat_cache=[B, N, N] (bf16) switches to the cached-compat kernel:
+    compatibility is streamed from HBM instead of recomputed per layer
+    (faster for deep encoders at large N; costs 2N^2 bytes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    if compat_cache is not None and not trainable:
+        def attention_fn(q, k, v, inner_mask):
+            del inner_mask
+            return fused_sc_attention_cached(
+                q, k, v, compat_cache, src, tgt, mask=mask,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+
+        return attention_fn
 
     if trainable:
         if mask is None:

@@ -60,6 +60,7 @@ class PointDSC(nn.Module):
     half_precision: bool = False  # bf16 encoder matmuls, f32 accumulation
     approx_knn: bool = False  # TPU-optimized approx top-k for NSM neighbors
     remat: bool = False  # rematerialize encoder layers (training memory)
+    fused_cache_compat: bool = True  # share one bf16 compat cache across layers
 
     @nn.compact
     def __call__(
@@ -89,12 +90,23 @@ class PointDSC(nn.Module):
         if fused_attention:
             from pointdsc_tpu.kernels.sc_attention import make_sc_attention_fn
 
+            compat_cache = None
+            if not train and self.fused_cache_compat:
+                # the 12 layers share one compat matrix (PointDSC.py:150-155):
+                # materialize it ONCE in bf16 and stream tiles, instead of
+                # recomputing two padded K=3 MXU passes per tile per layer
+                compat_cache = jax.lax.stop_gradient(
+                    spatial_consistency(
+                        src_keypts, tgt_keypts, self.sigma_d, mask=mask
+                    )
+                ).astype(jnp.bfloat16)
             attention_fn = make_sc_attention_fn(
                 jax.lax.stop_gradient(src_keypts),
                 jax.lax.stop_gradient(tgt_keypts),
                 self.sigma_d,
                 mask=mask,
                 trainable=train,  # custom-VJP kernels when gradients flow
+                compat_cache=compat_cache,
             )
             compat = None
             src_dist = None  # NMS runs its own fused kernel; no [N,N] in HBM

@@ -1,0 +1,44 @@
+"""Cached-compat fused attention vs dense + full-model equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointdsc_tpu.kernels.sc_attention import fused_sc_attention_cached
+from pointdsc_tpu.models import PointDSC
+from pointdsc_tpu.ops.compatibility import spatial_consistency
+from tests.test_sc_attention_kernel import dense_reference
+from tests.test_model import make_synthetic_pair
+
+
+def test_cached_kernel_matches_dense(rng):
+    b, n, c = 1, 256, 32
+    q = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    tgt = src + jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 0.05
+    compat = spatial_consistency(src, tgt, 0.1)  # f32 cache for exactness
+    out = fused_sc_attention_cached(
+        q, k, v, compat, src, tgt, block_q=128, block_k=128, interpret=True
+    )
+    ref = dense_reference(q, k, v, src, tgt, 0.1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_cached_model_forward_matches_dense(rng):
+    model = PointDSC(in_dim=6, num_layers=2, num_channels=32, k=16, ratio=0.1)
+    cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=256, inlier_ratio=0.6)
+    batch = lambda a: jnp.asarray(a)[None]
+    variables = model.init(jax.random.key(0), batch(cp), batch(src), batch(tgt))
+    out_dense = model.apply(variables, batch(cp), batch(src), batch(tgt), testing=True)
+    out_cached = model.apply(
+        variables, batch(cp), batch(src), batch(tgt),
+        testing=True, fused_attention=True,
+    )
+    # cached path uses a bf16 compat cache -> small softmax perturbations;
+    # the recovered transform must agree
+    np.testing.assert_allclose(
+        np.asarray(out_cached.final_trans), np.asarray(out_dense.final_trans),
+        atol=5e-3,
+    )
