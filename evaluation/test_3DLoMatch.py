@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("--chosen_snapshot", default="", type=str)
     parser.add_argument("--num_corr", default=5000, type=int)
     parser.add_argument("--save_npy", default=False, type=str2bool)
+    parser.add_argument(
+        "--fused_attention", default="auto", choices=["auto", "true", "false"],
+        help="Pallas fused attention kernels (auto: on for TPU backends)",
+    )
     parser.add_argument("--root", default="", type=str)
     parser.add_argument(
         "--use_predator", default=False, type=str2bool,
@@ -35,6 +39,7 @@ def main(argv=None):
     parser.add_argument("--predator_root", default="", type=str)
     args = parser.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from pointdsc_tpu.data.threedmatch import ThreeDLoMatchTest
@@ -89,7 +94,13 @@ def main(argv=None):
             jnp.asarray(example["tgt_keypts"])[None],
         ),
     )
-    evaluator = Evaluator(model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre)
+    fused = args.fused_attention == "true" or (
+        args.fused_attention == "auto" and jax.default_backend() == "tpu"
+    )
+    evaluator = Evaluator(
+        model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre,
+        fused_attention=fused,
+    )
     stats, agg = evaluator.run_dataset(dataset)
     print(format_scene_report(agg))
 

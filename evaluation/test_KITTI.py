@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("--solver", default="SVD", type=str, choices=["SVD", "RANSAC"])
     parser.add_argument("--use_icp", default=False, type=str2bool)
     parser.add_argument("--save_npy", default=False, type=str2bool)
+    parser.add_argument(
+        "--fused_attention", default="auto", choices=["auto", "true", "false"],
+        help="Pallas fused attention kernels (auto: on for TPU backends)",
+    )
     parser.add_argument("--root", default="", type=str)
     parser.add_argument("--num_node", default=12000, type=int)
     args = parser.parse_args(argv)
@@ -84,10 +88,15 @@ def main(argv=None):
         ),
     )
 
+    import jax
+
+    fused = args.fused_attention == "true" or (
+        args.fused_attention == "auto" and jax.default_backend() == "tpu"
+    )
     evaluator = Evaluator(
         model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre,
         use_icp=args.use_icp, icp_threshold=cfg.inlier_threshold,
-        solver=args.solver,
+        solver=args.solver, fused_attention=fused,
     )
     stats, agg = evaluator.run_dataset(dataset)
     report = format_scene_report(agg)
