@@ -109,10 +109,13 @@ def main(argv=None):
                 else:
                     variables = model.init(jax.random.key(0), *inputs)
 
+                fused = jax.default_backend() == "tpu"
+
                 @jax.jit
                 def forward(corr_pos, src, tgt, mask):
                     out = model.apply(
-                        variables, corr_pos, src, tgt, mask=mask, testing=True
+                        variables, corr_pos, src, tgt, mask=mask,
+                        testing=True, fused_attention=fused,
                     )
                     return out.final_trans
 

@@ -54,7 +54,9 @@ def main():
             )
         variables = model.init(jax.random.key(0), *batches[0])
 
-        for variant, fused in (("dense", False), ("fused", True)):
+        # fused first: measuring it on a fresh HBM arena avoids allocator
+        # interference from the dense variant's 1.6 GB matrices
+        for variant, fused in (("fused", True), ("dense", False)):
             try:
                 @jax.jit
                 def fwd(cp, s, t, fused=fused):
