@@ -34,6 +34,7 @@ def build_correspondences(
     in_dim: int = 6,
     rng: np.random.Generator | None = None,
     min_corr: int = 10,
+    sample_replace: bool | None = None,
 ):
     """Sample keypoints, NN-match descriptors, build labels and model input.
 
@@ -47,8 +48,15 @@ def build_correspondences(
         src_sel = np.arange(n_src)
         tgt_sel = np.arange(n_tgt)
     else:
-        src_sel = rng.choice(n_src, int(num_node), replace=n_src < int(num_node))
-        tgt_sel = rng.choice(n_tgt, int(num_node), replace=n_tgt < int(num_node))
+        # sample_replace=True mirrors the reference 3DMatch path's
+        # np.random.choice default (ThreeDMatch.py:103-104, duplicates
+        # possible); False mirrors KITTI.py:71-73 / Redwood.py:155-158.
+        # None keeps replacement only when the cloud is too small.
+        k = int(num_node)
+        rep_src = sample_replace if sample_replace is not None else n_src < k
+        rep_tgt = sample_replace if sample_replace is not None else n_tgt < k
+        src_sel = rng.choice(n_src, k, replace=rep_src or n_src < k)
+        tgt_sel = rng.choice(n_tgt, k, replace=rep_tgt or n_tgt < k)
     src_desc, tgt_desc = src_desc[src_sel], tgt_desc[tgt_sel]
     src_keypts, tgt_keypts = src_keypts[src_sel], tgt_keypts[tgt_sel]
 

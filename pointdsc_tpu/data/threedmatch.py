@@ -141,6 +141,9 @@ class ThreeDMatchTrainVal:
             use_mutual=self.use_mutual,
             in_dim=self.in_dim,
             rng=rng,
+            # reference 3DMatch training samples WITH replacement
+            # (ThreeDMatch.py:103-104, np.random.choice default)
+            sample_replace=True,
         )
 
 
@@ -220,6 +223,7 @@ class ThreeDMatchTest:
             use_mutual=self.use_mutual,
             in_dim=self.in_dim,
             rng=rng,
+            sample_replace=True,  # ThreeDMatch.py:275-276 (choice default)
         )
 
 
@@ -284,4 +288,5 @@ class ThreeDLoMatchTest:
             use_mutual=self.use_mutual,
             in_dim=self.in_dim,
             rng=rng,
+            sample_replace=True,  # ThreeDMatch.py:419-420 (choice default)
         )

@@ -77,8 +77,10 @@ def pair_stats(
     pred_pos = pred_labels > 0
     gt_pos = gt_labels > 0
     tp = float(np.sum(pred_pos & gt_pos))
-    output_num = float(np.sum(pred_pos))
-    precision = tp / max(output_num, 1.0)
+    # Column 5 counts gt inliers among predicted positives, i.e. true
+    # positives — matching test_3DMatch.py:95 (sum(gt_labels[pred_labels>0])).
+    output_num = tp
+    precision = tp / max(float(np.sum(pred_pos)), 1.0)
     recall = tp / max(input_num, 1.0)
     f1 = 2 * precision * recall / max(precision + recall, 1e-12)
 

@@ -62,32 +62,46 @@ class Evaluator:
             if use_icp:
                 # ICP polish on the correspondence keypoint clouds
                 # (reference icp_refine, benchmark_utils.py:40-56), fused
-                # into the same XLA program
+                # into the same XLA program; vmapped so it stays correct for
+                # any batch size, not just bs=1
                 from pointdsc_tpu.ops.icp import icp_point_to_point
 
-                trans0, _, _ = icp_point_to_point(
-                    src_keypts[0], tgt_keypts[0], trans[0],
-                    max_correspondence_distance=icp_threshold,
-                    src_mask=mask[0], tgt_mask=mask[0],
-                )
-                trans = trans0[None]
+                def one(s, t, tr, m):
+                    tr2, _, _ = icp_point_to_point(
+                        s, t, tr, max_correspondence_distance=icp_threshold,
+                        src_mask=m, tgt_mask=m,
+                    )
+                    return tr2
+
+                trans = jax.vmap(one)(src_keypts, tgt_keypts, trans, mask)
             return trans, out.final_labels
 
         self._forward = _forward
+        self._warmed_buckets: set[int] = set()
 
     def run_pair(self, sample: dict, scene_ind: int = 0, data_time: float = 0.0):
         """sample: un-padded dict from a dataset; returns a 12-col stats row."""
         n = sample["corr_pos"].shape[0]
         padded = pad_to_bucket(sample)
-
-        t = Timer()
-        t.tic()
-        trans, labels = self._forward(
+        args = (
             jnp.asarray(padded["corr_pos"])[None],
             jnp.asarray(padded["src_keypts"])[None],
             jnp.asarray(padded["tgt_keypts"])[None],
             jnp.asarray(padded["mask"])[None],
         )
+
+        # one discarded warmup per shape bucket so model_time never includes
+        # XLA compilation (the first pair of a bucket would otherwise report
+        # tens of seconds)
+        bucket = padded["corr_pos"].shape[0]
+        if bucket not in self._warmed_buckets:
+            # a host fetch is the only reliable sync on tunneled backends
+            np.asarray(self._forward(*args)[0])
+            self._warmed_buckets.add(bucket)
+
+        t = Timer()
+        t.tic()
+        trans, labels = self._forward(*args)
         # the host fetch is the only reliable sync point on tunneled/async
         # backends, so model_time is measured around it
         trans = np.asarray(trans)[0]

@@ -144,4 +144,14 @@ def get_config(dataset: str = "3DMatch", argv=None) -> Config:
         else:
             parser.add_argument(f"--{f.name}", type=type(default), default=default)
     args = parser.parse_args(argv)
-    return Config(**vars(args))
+    out = Config(**vars(args))
+    # Re-derive dependent paths the user didn't set explicitly, so
+    # `--exp_id X` or `--snapshot_dir Y` moves the whole snapshot tree
+    # instead of leaving checkpoints/tensorboard at the stale default.
+    if out.exp_id != cfg.exp_id and out.snapshot_dir == cfg.snapshot_dir:
+        out.snapshot_dir = f"snapshot/{out.exp_id}"
+    if out.exp_id != cfg.exp_id and out.tboard_dir == cfg.tboard_dir:
+        out.tboard_dir = f"tensorboard/{out.exp_id}"
+    if out.snapshot_dir != cfg.snapshot_dir and out.save_dir == cfg.save_dir:
+        out.save_dir = os.path.join(out.snapshot_dir, "models")
+    return out

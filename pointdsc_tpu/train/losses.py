@@ -96,12 +96,14 @@ def spectral_matching_loss(
     b, n = gt_labels.shape
     if mask is None:
         mask = jnp.ones((b, n), dtype=bool)
+    # The diagonal stays IN pair_mask: both M (model) and gt_M (below) have a
+    # zero diagonal, so it contributes nothing to the numerators but the
+    # reference counts its N entries in every denominator (loss.py:135,138).
     pair_mask = (mask[:, :, None] & mask[:, None, :]).astype(M.dtype)
-    pair_mask = pair_mask * (1.0 - jnp.eye(n, dtype=M.dtype))
 
     gt = gt_labels.astype(M.dtype)
     gt_M = gt[:, None, :] * gt[:, :, None]  # == ((li + lj) == 2)
-    gt_M = gt_M * pair_mask
+    gt_M = gt_M * pair_mask * (1.0 - jnp.eye(n, dtype=M.dtype))
 
     if balanced:
         sq_p = ((M - 1.0) ** 2) * gt_M

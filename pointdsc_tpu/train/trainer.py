@@ -49,10 +49,16 @@ class TrainState(NamedTuple):
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     """ADAM/SGD + per-epoch exponential decay, matching torch semantics
-    (weight decay added to the gradient *before* the Adam moments)."""
+    (weight decay added to the gradient *before* the Adam moments).
+
+    An epoch actually runs min(training_max_iter, steps_per_epoch) iterations
+    (train_epoch), so the staircase must step on that count to match the
+    reference's epoch-stepped ExponentialLR.
+    """
+    actual_steps = min(cfg.training_max_iter, steps_per_epoch)
     schedule = optax.exponential_decay(
         init_value=cfg.lr,
-        transition_steps=max(1, steps_per_epoch * cfg.scheduler_interval),
+        transition_steps=max(1, actual_steps * cfg.scheduler_interval),
         decay_rate=cfg.scheduler_gamma,
         staircase=True,
     )
@@ -281,6 +287,24 @@ class Trainer:
 
         it = iter(loader)
         num_iter = min(cfg.training_max_iter, len(loader))
+        # Metrics stay on device between log points: a per-step float() fetch
+        # would serialize host and device (every step waits for the previous
+        # one's full pipeline). We buffer the tiny scalar dicts and fetch the
+        # whole window at the reference's 100-iter logging cadence
+        # (libs/trainer.py:142-156).
+        LOG_EVERY = 100
+        pending: list[dict] = []
+
+        def drain():
+            if not pending:
+                return
+            for md in jax.device_get(pending):
+                if np.isfinite(md["loss"]):
+                    for k, m in meters.items():
+                        if np.isfinite(md[k]):
+                            m.update(float(md[k]))
+            pending.clear()
+
         for i in range(num_iter):
             data_timer.tic()
             batch = next(it)
@@ -289,15 +313,13 @@ class Trainer:
 
             model_timer.tic()
             state, metrics = self._train_step(state, batch, epoch_j)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            pending.append(metrics)
+            last = (i + 1) == num_iter
+            if (i + 1) % LOG_EVERY == 0 or last:
+                drain()  # blocks until the device catches up
             model_timer.toc()
 
-            if np.isfinite(metrics["loss"]):
-                for k, m in meters.items():
-                    if np.isfinite(metrics[k]):
-                        m.update(metrics[k])
-
-            if (i + 1) % 100 == 0 and cfg.verbose:
+            if ((i + 1) % LOG_EVERY == 0 or last) and cfg.verbose:
                 if self.logger:
                     self.logger.log_dict(
                         "Train",
@@ -322,9 +344,11 @@ class Trainer:
         meters: dict[str, AverageMeter] = {}
         it = iter(loader)
         num_iter = min(cfg.val_max_iter, len(loader))
+        pending = []
         for _ in range(num_iter):
             batch = shard_batch(next(it), self.mesh)
-            metrics = self._eval_step(state, batch)
+            pending.append(self._eval_step(state, batch))
+        for metrics in jax.device_get(pending):
             for k, v in metrics.items():
                 v = float(v)
                 if np.isfinite(v):

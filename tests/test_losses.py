@@ -73,11 +73,11 @@ class TestSpectralMatchingLoss:
         p = ((Mz - 1) ** 2 * gt_M).sum((-1, -2)) / (
             np.maximum(gt_M.sum((-1, -2)) - 1, 0) + 1
         )
-        nn_ = (Mz**2 * (1 - gt_M)).sum((-1, -2))
-        # our pair_mask removes the diagonal from the negative set
-        neg_mask = (1 - gt_M) * (1 - np.eye(n))
-        nn_ = (Mz**2 * neg_mask).sum((-1, -2)) / (
-            np.maximum(neg_mask.sum((-1, -2)) - 1, 0) + 1
+        # reference loss.py:135: the negative set INCLUDES the diagonal
+        # entries (gt_M diag is 0, M diag is 0, so they only pad the
+        # denominator)
+        nn_ = (Mz**2 * (1 - gt_M)).sum((-1, -2)) / (
+            np.maximum((1 - gt_M).sum((-1, -2)) - 1, 0) + 1
         )
         expect = np.mean(0.5 * p + 0.5 * nn_)
         got = float(
