@@ -1,0 +1,103 @@
+"""Import reference PyTorch PointDSC checkpoints into flax params.
+
+The reference ships weights as ``torch.save(model.state_dict())`` pickles
+(``snapshot/<id>/models/model_best.pkl``, /root/reference/libs/trainer.py:224-226).
+This module maps that state dict onto the pointdsc_tpu flax tree so a user of
+the reference can carry trained weights over unchanged:
+
+  torch Conv1d(k=1) weight [out, in, 1]  ->  flax Dense kernel [in, out]
+  torch BatchNorm1d weight/bias          ->  MaskedBatchNorm scale/bias
+  torch BatchNorm1d running_mean/var     ->  batch_stats mean/var
+
+Key layout on the torch side (see /root/reference/models/PointDSC.py:80-127):
+  sigma, sigma_spat
+  encoder.layer0.{weight,bias}
+  encoder.blocks.PointCN_layer_{i}.0.*        (Conv1d)
+  encoder.blocks.PointCN_layer_{i}.1.*        (BatchNorm1d)
+  encoder.blocks.NonLocal_layer_{i}.projection_{q,k,v}.*
+  encoder.blocks.NonLocal_layer_{i}.fc_message.{0,3,6}.*  (Conv1d)
+  encoder.blocks.NonLocal_layer_{i}.fc_message.{1,4}.*    (BatchNorm1d)
+  classification.{0,2,4}.*                    (Conv1d)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _conv1d(w):  # [out, in, 1] -> [in, out]
+    return np.ascontiguousarray(np.asarray(w)[:, :, 0].T)
+
+
+def _vec(w):
+    return np.asarray(w).reshape(-1)
+
+
+def from_torch_state_dict(sd: dict, num_layers: int, dtype=np.float32) -> dict:
+    """Build {'params': ..., 'batch_stats': ...} flax variables from a
+    reference state dict (values: numpy arrays or anything np.asarray eats).
+
+    Raises KeyError on a missing expected key, so silent shape drift is
+    impossible. `dtype` is float32 for deployment; the float64 option exists
+    for the cross-implementation parity tests.
+    """
+    sd = {k: np.asarray(v, dtype) for k, v in sd.items()}
+
+    def dense(prefix):
+        return {"kernel": _conv1d(sd[f"{prefix}.weight"]),
+                "bias": _vec(sd[f"{prefix}.bias"])}
+
+    def bn_params(prefix):
+        return {"scale": _vec(sd[f"{prefix}.weight"]),
+                "bias": _vec(sd[f"{prefix}.bias"])}
+
+    def bn_stats(prefix):
+        return {"mean": _vec(sd[f"{prefix}.running_mean"]),
+                "var": _vec(sd[f"{prefix}.running_var"])}
+
+    enc_p: dict = {"layer0": dense("encoder.layer0")}
+    enc_s: dict = {}
+    for i in range(num_layers):
+        pcn = f"encoder.blocks.PointCN_layer_{i}"
+        nl = f"encoder.blocks.NonLocal_layer_{i}"
+        enc_p[f"PointCN_layer_{i}"] = {
+            "Dense_0": dense(f"{pcn}.0"),
+            "MaskedBatchNorm_0": bn_params(f"{pcn}.1"),
+        }
+        enc_s[f"PointCN_layer_{i}"] = {"MaskedBatchNorm_0": bn_stats(f"{pcn}.1")}
+        enc_p[f"NonLocal_layer_{i}"] = {
+            "projection_q": dense(f"{nl}.projection_q"),
+            "projection_k": dense(f"{nl}.projection_k"),
+            "projection_v": dense(f"{nl}.projection_v"),
+            "fc_message_0": dense(f"{nl}.fc_message.0"),
+            "fc_message_bn0": bn_params(f"{nl}.fc_message.1"),
+            "fc_message_1": dense(f"{nl}.fc_message.3"),
+            "fc_message_bn1": bn_params(f"{nl}.fc_message.4"),
+            "fc_message_2": dense(f"{nl}.fc_message.6"),
+        }
+        enc_s[f"NonLocal_layer_{i}"] = {
+            "fc_message_bn0": bn_stats(f"{nl}.fc_message.1"),
+            "fc_message_bn1": bn_stats(f"{nl}.fc_message.4"),
+        }
+
+    params = {
+        "sigma": _vec(sd["sigma"]),
+        "encoder": enc_p,
+        "classification_0": dense("classification.0"),
+        "classification_1": dense("classification.2"),
+        "classification_2": dense("classification.4"),
+    }
+    return {"params": params, "batch_stats": {"encoder": enc_s}}
+
+
+def load_torch_checkpoint(path: str, num_layers: int) -> dict:
+    """Load a reference ``model_best.pkl`` (torch pickle) from disk.
+
+    Needs torch importable (CPU build suffices) to unpickle the tensor
+    storage format; the result is plain numpy, usable without torch.
+    """
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in raw.items()}
+    return from_torch_state_dict(sd, num_layers)

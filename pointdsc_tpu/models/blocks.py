@@ -21,6 +21,13 @@ import flax.linen as nn
 _NEG_INF = -1e9
 
 
+def _acc_dtype(dtype):
+    """Accumulation/statistics dtype: f32 for f32/bf16 inputs, f64 under
+    x64 (keeps the model exactly dtype-preserving for the float64
+    cross-implementation parity tests)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d equivalent: per-channel stats over (batch, num_corr).
 
@@ -126,7 +133,7 @@ class PointCNLayer(nn.Module):
     """
 
     num_channels: int = 128
-    compute_dtype: Any = jnp.float32
+    compute_dtype: Any = None  # None = promote naturally (f32 or f64)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -135,7 +142,7 @@ class PointCNLayer(nn.Module):
             kernel_init=nn.initializers.xavier_normal(),
             dtype=self.compute_dtype,
         )(x)
-        x = MaskedBatchNorm()(x.astype(jnp.float32), mask=mask, train=train)
+        x = MaskedBatchNorm()(x.astype(_acc_dtype(x.dtype)), mask=mask, train=train)
         return nn.relu(x)
 
 
@@ -154,7 +161,7 @@ class NonLocalBlock(nn.Module):
     num_channels: int = 128
     num_heads: int = 1
     attention_fn: Callable | None = None
-    compute_dtype: Any = jnp.float32
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, feat, compat, mask=None, train: bool = False, attention_fn=None):
@@ -178,37 +185,38 @@ class NonLocalBlock(nn.Module):
             qh = q.reshape(b, n, h, c // h)
             kh = k.reshape(b, n, h, c // h)
             vh = v.reshape(b, n, h, c // h)
-            # O(N^2 C) contractions run in compute_dtype on the MXU with f32
-            # accumulation; softmax statistics stay f32.
+            acc = _acc_dtype(qh.dtype)
+            # O(N^2 C) contractions run in compute_dtype on the MXU with
+            # f32 (f64 under x64) accumulation; softmax statistics likewise.
             logits = jnp.einsum(
-                "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32
-            ) / jnp.sqrt(jnp.asarray(c // h, jnp.float32))
+                "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=acc
+            ) / jnp.sqrt(jnp.asarray(c // h, acc))
             scores = compat[:, None, :, :] * logits
             if mask is not None:
                 scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
             weight = nn.softmax(scores, axis=-1)
             message = jnp.einsum(
                 "bhnm,bmhd->bnhd",
-                weight.astype(cdt),
+                weight.astype(vh.dtype),
                 vh,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             ).reshape(b, n, c)
 
         message = nn.Dense(c // 2, kernel_init=xavier, dtype=cdt,
                            name="fc_message_0")(message)
         message = MaskedBatchNorm(name="fc_message_bn0")(
-            message.astype(jnp.float32), mask=mask, train=train
+            message.astype(_acc_dtype(message.dtype)), mask=mask, train=train
         )
         message = nn.relu(message)
         message = nn.Dense(c // 2, kernel_init=xavier, dtype=cdt,
                            name="fc_message_1")(message)
         message = MaskedBatchNorm(name="fc_message_bn1")(
-            message.astype(jnp.float32), mask=mask, train=train
+            message.astype(_acc_dtype(message.dtype)), mask=mask, train=train
         )
         message = nn.relu(message)
         message = nn.Dense(c, kernel_init=xavier, dtype=cdt,
                            name="fc_message_2")(message)
-        return feat + message.astype(jnp.float32)
+        return feat + message.astype(feat.dtype)
 
 
 class NonLocalNet(nn.Module):
@@ -220,7 +228,7 @@ class NonLocalNet(nn.Module):
     num_layers: int = 6
     num_channels: int = 128
     attention_fn: Callable | None = None
-    compute_dtype: Any = jnp.float32
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(

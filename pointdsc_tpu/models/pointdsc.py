@@ -124,20 +124,22 @@ class PointDSC(nn.Module):
         encoder_cls = NonLocalNet
         if self.remat:
             # trade FLOPs for HBM during training: each encoder layer's
-            # activations are recomputed in the backward pass. (`train` is
-            # positional arg 3 of NonLocalNet.__call__ and must be static.)
-            assert attention_fn is None, "remat with fused attention unsupported"
-            encoder_cls = nn.remat(NonLocalNet, static_argnums=(4,))
+            # activations are recomputed in the backward pass. `train` and
+            # `attention_fn` (positions 4 and 5 counting self) are static:
+            # one is a python bool, the other a per-trace closure. Composes
+            # with fused attention — the custom-VJP kernel then recomputes
+            # its own tiles inside the rematerialized layer.
+            encoder_cls = nn.remat(NonLocalNet, static_argnums=(4, 5))
         encoder = encoder_cls(
             in_dim=self.in_dim,
             num_layers=self.num_layers,
             num_channels=self.num_channels,
             attention_fn=self.attention_fn,
-            compute_dtype=jnp.bfloat16 if self.half_precision else jnp.float32,
+            compute_dtype=jnp.bfloat16 if self.half_precision else None,
             name="encoder",
         )
         if self.remat:
-            corr_features = encoder(corr_pos, compat, mask, train)
+            corr_features = encoder(corr_pos, compat, mask, train, attention_fn)
         else:
             corr_features = encoder(
                 corr_pos, compat, mask=mask, train=train, attention_fn=attention_fn
@@ -245,11 +247,13 @@ class PointDSC(nn.Module):
         feat_M = jnp.einsum("bskc,bsjc->bskj", knn_features, knn_features)
         feat_M = jnp.clip(1.0 - (1.0 - feat_M) / (sigma * sigma), 0.0, None)
 
-        # spatial compatibility within the neighborhood (PointDSC.py:266-271)
+        # spatial compatibility within the neighborhood (PointDSC.py:266-271).
+        # Exact-difference form: the gram expansion loses ~1e-4 to
+        # cancellation, amplified by /sigma_d^2. The [B,S,k,k,3] broadcast is
+        # fused by XLA (k=40, so it is small anyway).
         def pdist(x):
-            sq = jnp.sum(x * x, axis=-1)
-            inner = jnp.einsum("bski,bsji->bskj", x, x)
-            return jnp.sqrt(jnp.maximum(sq[..., :, None] + sq[..., None, :] - 2 * inner, 0.0))
+            diff = x[..., :, None, :] - x[..., None, :, :]
+            return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
 
         spat_diff = pdist(src_knn) - pdist(tgt_knn)
         spat_M = jnp.clip(1.0 - spat_diff**2 / (self.sigma_d**2), 0.0, None)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from pointdsc_tpu.ops.knn import pairwise_dists
+from pointdsc_tpu.ops.knn import pairwise_dists_exact
 
 
 def spatial_consistency(
@@ -33,8 +33,11 @@ def spatial_consistency(
         compat [..., N, N]; optionally also the src distance matrix (reused
         by NMS seed selection, as in the reference forward pass).
     """
-    src_dist = pairwise_dists(src_keypts)
-    tgt_dist = pairwise_dists(tgt_keypts)
+    # exact-difference distances: the gram-form expansion loses ~1e-4 to
+    # cancellation, amplified 100x by /sigma_d^2 (sigma_d=0.1) and then
+    # layer-by-layer through the encoder
+    src_dist = pairwise_dists_exact(src_keypts)
+    tgt_dist = pairwise_dists_exact(tgt_keypts)
     diff = src_dist - tgt_dist
     compat = jnp.clip(1.0 - diff * diff / (sigma_d * sigma_d), 0.0, None)
     if mask is not None:

@@ -34,6 +34,23 @@ def pairwise_dists(x: jnp.ndarray, y: jnp.ndarray | None = None) -> jnp.ndarray:
     return jnp.sqrt(pairwise_sq_dists(x, y))
 
 
+def pairwise_dists_exact(
+    x: jnp.ndarray, y: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Euclidean distances via the difference form sqrt(sum((xi-yj)^2)).
+
+    For low-dimensional points (C=3) the gram-matrix expansion above loses
+    ~1e-4 to cancellation, which matters when the result is squared and
+    divided by sigma_d^2=0.01 (the spatial-consistency matrix). The
+    [..., N, M, C] broadcast is fused by XLA into the reduction, so only the
+    [..., N, M] output is materialized.
+    """
+    if y is None:
+        y = x
+    diff = x[..., :, None, :] - y[..., None, :, :]
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+
+
 def feature_knn(
     feats: jnp.ndarray,
     k: int,

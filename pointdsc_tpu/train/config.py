@@ -82,6 +82,8 @@ class Config:
     # Parallelism (TPU-specific; not in the reference)
     num_devices: int = 0  # 0 = all local devices
     half_precision: bool = False  # bf16 activations in the encoder
+    fused_attention: bool = False  # flash-style Pallas SC-attention kernels
+    remat: bool = False  # rematerialize encoder layers (training memory)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -88,6 +88,8 @@ class Trainer:
             sigma_d=cfg.sigma_d,
             k=cfg.k,
             nms_radius=cfg.nms_radius,
+            half_precision=cfg.half_precision,
+            remat=cfg.remat,
         )
         # data parallelism requires batch_size % n_devices == 0; use the
         # largest device count that divides the batch
@@ -129,6 +131,7 @@ class Trainer:
             batch["tgt_keypts"],
             mask=batch["mask"],
             train=True,
+            fused_attention=cfg.fused_attention,
             mutable=["batch_stats"],
         )
         gt_labels, mask = batch["gt_labels"], batch["mask"]
@@ -211,6 +214,7 @@ class Trainer:
                 batch["tgt_keypts"],
                 mask=batch["mask"],
                 train=False,
+                fused_attention=cfg.fused_attention,
                 mutable=["batch_stats"],
             )
             gt_labels, mask = batch["gt_labels"], batch["mask"]

@@ -2,8 +2,14 @@
 """Training-step throughput benchmark (honest fetch-forced timing).
 
 Measures the full jitted train step (forward + 3 losses + backward +
-guarded Adam update) at the reference training shape: bs=16, N=1000,
-12 layers x 128 channels.
+guarded Adam update). Defaults to the reference training shape (bs=16,
+N=1000, 12 layers x 128 channels); --num_node/--batch_size/--fused_attention/
+--remat explore the large-N regime the reference cannot train in at all
+(its [bs, N, N] x 12-layer attention memory wall, PointDSC.py:150-155).
+
+Example (KITTI-scale training step on one chip):
+  python tools/bench_train.py --num_node 12288 --batch_size 1 \
+      --fused_attention true --remat true
 """
 
 import os
@@ -15,24 +21,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def main(argv=None):
     import jax
     import jax.numpy as jnp
 
     from pointdsc_tpu.data import SyntheticPairDataset, collate_batch
-    from pointdsc_tpu.train.config import default_config
+    from pointdsc_tpu.train.config import get_config
     from pointdsc_tpu.train.trainer import Trainer
 
-    cfg = default_config("3DMatch")
+    cfg = get_config("3DMatch", argv)
     cfg.verbose = False
     cfg.tboard_dir = ""
+    bs = cfg.batch_size
     trainer = Trainer(cfg)
-    ds = SyntheticPairDataset(num_pairs=16 * 6, num_corr=cfg.num_node, seed=0)
+    n_batches = 6
+    ds = SyntheticPairDataset(num_pairs=bs * n_batches, num_corr=cfg.num_node, seed=0)
     batches = [
         jax.tree_util.tree_map(
-            jnp.asarray, collate_batch([ds[i * 16 + j] for j in range(16)])
+            jnp.asarray, collate_batch([ds[i * bs + j] for j in range(bs)])
         )
-        for i in range(6)
+        for i in range(n_batches)
     ]
     state = trainer.init_state(batches[0], steps_per_epoch=100)
     trainer.build_steps()
@@ -57,17 +65,26 @@ def main():
 
     ts = []
     for i in range(5):
-        b = batches[1 + (i % 5)]
+        b = batches[1 + (i % (n_batches - 1))]
         t0 = time.perf_counter()
         state, m = trainer._train_step(state, b, ep)
         _ = float(m["loss"])  # forces completion
         ts.append(time.perf_counter() - t0)
     step = max(float(np.median(ts)) - rtt, 1e-9)
+    variant = []
+    if cfg.fused_attention:
+        variant.append("fused")
+    if cfg.remat:
+        variant.append("remat")
+    if cfg.half_precision:
+        variant.append("bf16")
+    tag = "+".join(variant) or "dense"
     print(
-        f"train step (bs=16, N=1000, 12L): {step*1000:.2f} ms "
-        f"-> {16/step:.1f} pairs/sec, {1/step:.2f} steps/sec "
+        f"train step [{tag}] (bs={bs}, N={cfg.num_node}, {cfg.num_layers}L): "
+        f"{step*1000:.2f} ms -> {bs/step:.1f} pairs/sec, {1/step:.2f} steps/sec "
         f"(rtt {rtt*1000:.1f} ms)"
     )
+    return step
 
 
 if __name__ == "__main__":
