@@ -3,7 +3,9 @@
 /root/reference/baseline_scripts/baseline_3DMatch.py).
 
 Methods: SM (spectral matching), RANSAC (on-device vmapped hypothesis
-sweep), LS (least-squares on gt inliers), PMC (native exact max-clique).
+sweep), GCRANSAC (graph-cut RANSAC: spatially-coherent inlier labeling +
+local optimization, on device), LS (least-squares on gt inliers), PMC
+(native exact max-clique).
 Same 12-column stats protocol as the model evaluation, so methods are
 directly comparable.
 
@@ -22,7 +24,8 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--method", default="SM", choices=["SM", "RANSAC", "LS", "PMC"]
+        "--method", default="SM",
+        choices=["SM", "RANSAC", "GCRANSAC", "LS", "PMC"]
     )
     parser.add_argument("--root", default="/data/3DMatch", type=str)
     parser.add_argument("--descriptor", default="fcgf", choices=["fcgf", "fpfh"])
@@ -38,6 +41,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from pointdsc_tpu.baselines import (
+        gc_ransac_registration,
         least_squares_fit,
         pmc_registration,
         ransac_registration,
@@ -70,6 +74,12 @@ def main(argv=None):
         elif args.method == "RANSAC":
             key, sub = jax.random.split(key)
             trans, labels = ransac_registration(
+                src, tgt, sub, args.inlier_threshold,
+                num_hypotheses=args.max_iteration,
+            )
+        elif args.method == "GCRANSAC":
+            key, sub = jax.random.split(key)
+            trans, labels = gc_ransac_registration(
                 src, tgt, sub, args.inlier_threshold,
                 num_hypotheses=args.max_iteration,
             )

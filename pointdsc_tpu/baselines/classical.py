@@ -125,20 +125,150 @@ def least_squares_fit(
     return T, gt_labels
 
 
-def gc_ransac_registration(*args, **kwargs):
-    """Graph-Cut RANSAC baseline (reference baseline_3DMatch.py:101-123)
-    depends on the external `pygcransac` package, which is not part of this
-    environment. The on-device `ransac_registration` above is the supported
-    sampling-consensus baseline; install pygcransac to enable this one."""
-    try:
-        import pygcransac  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "GCRANSAC requires the optional pygcransac package"
-        ) from e
-    raise NotImplementedError(
-        "pygcransac present but the GCRANSAC adapter is not wired yet"
+@partial(jax.jit, static_argnames=(
+    "num_hypotheses", "lo_iters", "icm_sweeps", "knn_k"
+))
+def gc_ransac_registration(
+    src_keypts: jnp.ndarray,  # [B, N, 3]
+    tgt_keypts: jnp.ndarray,
+    key: jax.Array,
+    inlier_threshold: float = 0.10,
+    num_hypotheses: int = 4096,
+    spatial_coherence_weight: float = 0.1,
+    lo_iters: int = 4,
+    icm_sweeps: int = 10,
+    knn_k: int = 8,
+    mask: jnp.ndarray | None = None,
+):
+    """Graph-Cut RANSAC, TPU-native (reference baseline_3DMatch.py:101-123
+    calls `pygcransac.findRigidTransform` with spatial_coherence_weight=0.1).
+
+    Same local-optimization idea as Barath & Matas (2018): after the
+    hypothesis sweep, inlier labeling minimizes the spatially-coherent
+    energy
+
+        E(L) = sum_i [ L_i * min(r_i^2/tau^2, 1)
+                       + (1 - L_i) * max(1 - r_i^2/tau^2, 0) ]
+             + lambda * sum_{(i,j) in kNN} [L_i != L_j]
+
+    (unaries are the Barath & Matas soft inlier score K = max(1 - r^2/t^2, 0):
+    labeling-inlier costs 1-K, labeling-outlier costs K)
+
+    over the k-NN graph of the source keypoints, followed by a weighted
+    re-fit on the labeling; repeated `lo_iters` times, keeping the best
+    energy. The binary submodular cut is solved by parallel ICM sweeps
+    (Jacobi label updates) instead of an s-t mincut — a device-friendly
+    local minimizer of the same energy; with the reference's small
+    lambda=0.1 the unaries dominate and the labelings agree.
+
+    If pygcransac ever lands in the environment,
+    `gc_ransac_registration_pygc` wraps it with the same signature.
+    """
+    b, n, _ = src_keypts.shape
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    lam = spatial_coherence_weight
+    tau2 = inlier_threshold * inlier_threshold
+
+    # spatial kNN graph over src keypoints (masked points isolated)
+    d_spatial = pairwise_dists(src_keypts)
+    d_spatial = jnp.where(mask[:, None, :], d_spatial, jnp.inf)
+    d_spatial = d_spatial + jnp.eye(n) * 1e9  # no self edges
+    _, nbr = jax.lax.top_k(-d_spatial, knn_k)  # [B, N, k]
+    take_nbr = jax.vmap(lambda vec, nb: vec[nb])  # [B,N] x [B,N,k] -> [B,N,k]
+    nbr_valid = take_nbr(mask, nbr) & mask[..., None]
+
+    # ---- hypothesis sweep (as in ransac_registration)
+    idx = jax.random.randint(key, (b, num_hypotheses, 3), 0, n)
+    gather = jax.vmap(lambda pts, ii: pts[ii])
+    hyp = weighted_procrustes(gather(src_keypts, idx), gather(tgt_keypts, idx))
+    pred = jnp.einsum("bhij,bnj->bhni", hyp[..., :3, :3], src_keypts) + hyp[
+        ..., None, :3, 3
+    ]
+    dist = jnp.linalg.norm(pred - tgt_keypts[:, None], axis=-1)
+    fitness = jnp.sum((dist < inlier_threshold) & mask[:, None], axis=-1)
+    best = jnp.argmax(fitness, axis=-1)
+    trans0 = jnp.take_along_axis(hyp, best[:, None, None, None], axis=1)[:, 0]
+
+    def energy_and_labels(trans):
+        """ICM minimization of the coherence energy for a fixed model."""
+        warped = transform(src_keypts, trans)
+        r2 = jnp.sum((warped - tgt_keypts) ** 2, axis=-1) / tau2
+        c_in = jnp.minimum(r2, 1.0)  # cost of labeling inlier (1 - K)
+        c_out = jnp.maximum(1.0 - r2, 0.0)  # cost of labeling outlier (K)
+        L = (r2 < 1.0) & mask  # init: plain thresholding
+
+        def sweep(L, _):
+            Lf = L.astype(jnp.float32)
+            nbr_L = take_nbr(Lf, nbr)
+            nv = nbr_valid.astype(jnp.float32)
+            agree_in = jnp.sum((1.0 - nbr_L) * nv, axis=-1)  # disagreements if inlier
+            agree_out = jnp.sum(nbr_L * nv, axis=-1)
+            cost1 = c_in + lam * agree_in
+            cost0 = c_out + lam * agree_out
+            return (cost1 < cost0) & mask, None
+
+        L, _ = jax.lax.scan(sweep, L, None, length=icm_sweeps)
+        Lf = L.astype(jnp.float32)
+        nbr_L = take_nbr(Lf, nbr)
+        pair_E = lam * jnp.sum(
+            jnp.abs(Lf[..., None] - nbr_L) * nbr_valid, axis=(-1, -2)
+        ) * 0.5
+        unary_E = jnp.sum(
+            jnp.where(mask, Lf * c_in + (1.0 - Lf) * c_out, 0.0), axis=-1
+        )
+        return unary_E + pair_E, L
+
+    def lo_step(carry, _):
+        trans, best_E, best_trans, best_L = carry
+        E, L = energy_and_labels(trans)
+        better = E < best_E
+        best_E = jnp.where(better, E, best_E)
+        best_trans = jnp.where(better[:, None, None], trans, best_trans)
+        best_L = jnp.where(better[:, None], L, best_L)
+        # re-fit on the coherent labeling (Geman-McClure-ish weights)
+        warped = transform(src_keypts, trans)
+        d = jnp.linalg.norm(warped - tgt_keypts, axis=-1)
+        w = L.astype(jnp.float32) / (1.0 + (d / inlier_threshold) ** 2)
+        new_trans = weighted_procrustes(src_keypts, tgt_keypts, w)
+        return (new_trans, best_E, best_trans, best_L), None
+
+    init_E = jnp.full((b,), jnp.inf)
+    carry = (trans0, init_E, trans0, mask & False)
+    (trans_last, best_E, best_trans, best_L), _ = jax.lax.scan(
+        lo_step, carry, None, length=lo_iters
     )
+    # score the final iterate too
+    E, L = energy_and_labels(trans_last)
+    better = E < best_E
+    best_trans = jnp.where(better[:, None, None], trans_last, best_trans)
+    best_L = jnp.where(better[:, None], L, best_L)
+    return best_trans, best_L.astype(jnp.float32)
+
+
+def gc_ransac_registration_pygc(
+    src_keypts: np.ndarray,  # [N, 3] single pair, host side
+    tgt_keypts: np.ndarray,
+    inlier_threshold: float = 0.10,
+    max_iters: int = 100000,
+):
+    """Optional adapter over the original pygcransac (exact s-t mincut),
+    mirroring the reference call (baseline_3DMatch.py:101-123)."""
+    import pygcransac
+
+    pose, mask_ = pygcransac.findRigidTransform(
+        np.ascontiguousarray(src_keypts, np.float64),
+        np.ascontiguousarray(tgt_keypts, np.float64),
+        threshold=inlier_threshold,
+        conf=0.99999999,
+        spatial_coherence_weight=0.1,
+        max_iters=max_iters,
+        use_sprt=True,
+        min_inlier_ratio_for_sprt=0.1,
+    )
+    if mask_.sum() == 0:
+        pose = np.eye(4)
+    return pose.T, mask_.astype(np.float32)
 
 
 def pmc_registration(

@@ -79,3 +79,70 @@ class TestPMC:
         check_recovery(trans, gt)
         prec = (labels * lab).sum() / max(labels.sum(), 1)
         assert prec > 0.9
+
+
+class TestGCRansac:
+    def test_recovers_transform(self, rng):
+        """GC-RANSAC recovers a planted rigid transform and its spatially
+        coherent labeling beats thresholding on clustered outliers."""
+        import jax
+        import jax.numpy as jnp
+
+        from pointdsc_tpu.baselines import gc_ransac_registration
+        from pointdsc_tpu.data import transforms_np as T
+
+        n = 256
+        src = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+        gt = T.integrate_trans(T.rotation_matrix(3, 0.5, rng),
+                               T.translation_matrix(0.3, rng))
+        inl = rng.random(n) < 0.3
+        tgt = np.where(
+            inl[:, None],
+            T.transform(src, gt) + rng.normal(size=(n, 3)) * 0.005,
+            rng.uniform(-1.0, 1.0, (n, 3)),
+        ).astype(np.float32)
+
+        trans, labels = gc_ransac_registration(
+            jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+            jax.random.key(3), inlier_threshold=0.10, num_hypotheses=2048,
+        )
+        trans = np.asarray(trans)[0]
+        re = np.degrees(np.arccos(np.clip(
+            (np.trace(trans[:3, :3].T @ gt[:3, :3]) - 1) / 2, -1, 1)))
+        te = np.linalg.norm(trans[:3, 3] - gt[:3, 3])
+        assert re < 2.0 and te < 0.05, (re, te)
+        # labeling quality: most planted inliers found, few false positives
+        lab = np.asarray(labels)[0] > 0
+        recall = (lab & inl).sum() / max(inl.sum(), 1)
+        precision = (lab & inl).sum() / max(lab.sum(), 1)
+        assert recall > 0.8 and precision > 0.8, (recall, precision)
+
+    def test_masked_padding(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from pointdsc_tpu.baselines import gc_ransac_registration
+        from pointdsc_tpu.data import transforms_np as T
+
+        n, pad = 200, 56
+        src = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+        gt = T.integrate_trans(T.rotation_matrix(3, 0.5, rng),
+                               T.translation_matrix(0.3, rng))
+        inl = rng.random(n) < 0.4
+        tgt = np.where(
+            inl[:, None], T.transform(src, gt),
+            rng.uniform(-1.0, 1.0, (n, 3)),
+        ).astype(np.float32)
+        pz = lambda a: np.pad(a, ((0, pad), (0, 0)))
+        mask = np.arange(n + pad) < n
+
+        trans, labels = gc_ransac_registration(
+            jnp.asarray(pz(src))[None], jnp.asarray(pz(tgt))[None],
+            jax.random.key(3), inlier_threshold=0.10, num_hypotheses=2048,
+            mask=jnp.asarray(mask)[None],
+        )
+        # padded entries are never labeled inliers
+        assert np.asarray(labels)[0, n:].sum() == 0
+        trans = np.asarray(trans)[0]
+        te = np.linalg.norm(trans[:3, 3] - gt[:3, 3])
+        assert te < 0.05
