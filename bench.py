@@ -4,8 +4,19 @@
 Measures per-pair latency of the full testing-mode pipeline (spatial
 consistency, 12-layer SC-attention encoder, NMS seeds, NSM, Procrustes
 hypotheses, post-refinement) at ~5000 correspondences -- the 3DMatch 'all'
-eval regime (BASELINE.md: eval correspondence counts ~5k). Runs both the
-dense-compat path and the fused Pallas-attention path and reports the faster.
+eval regime (BASELINE.md: eval correspondence counts ~5k).
+
+Methodology (round-2, fixing the round-1 RTT confound): EVERY variant is
+stream-measured -- 8 pairs per dispatch via lax.map, median of 3 runs, the
+independently measured RTT subtracted -- so variant selection is decided by
+device time, not tunnel noise. The headline number is the best EXACT
+variant (dense or fused attention; both use exact NSM neighborhoods via
+approx_max_k(recall_target=1.0), which is exact). The approximate-knn
+variant (recall 0.95) is reported alongside, never as the headline.
+
+MFU: FLOPs come from XLA's own cost model (compiled.cost_analysis()) of the
+headline executable, divided by measured device time and the chip's bf16
+peak.
 
 Baseline: the reference paper reports ~0.09 s per pair model time on GPU
 (BASELINE.md "Per-pair model time"). vs_baseline = baseline / ours, so > 1
@@ -22,9 +33,12 @@ import numpy as np
 N_CORR = 5120  # bucket for the 3DMatch 'all' (~5k) regime
 NUM_LAYERS = 12
 NUM_CHANNELS = 128
-WARMUP = 2
-ITERS = 10
+STREAM = 8
 BASELINE_SEC_PER_PAIR = 0.09
+
+# bf16 peak TFLOP/s per chip (public specs)
+_PEAKS = {"v4": 275e12, "v5 lite": 394e12, "v5e": 394e12, "v5p": 459e12,
+          "v6 lite": 918e12, "v6e": 918e12}
 
 
 def fetch(x):
@@ -54,15 +68,12 @@ def measure_rtt():
     return float(np.median(ts))
 
 
-def bench_variant(forward, batches):
-    for i in range(WARMUP):
-        fetch(forward(*batches[i])[0])
-    times = []
-    for i in range(WARMUP, WARMUP + ITERS):
-        t0 = time.perf_counter()
-        fetch(forward(*batches[i])[0])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+def chip_peak_flops(device_str: str) -> float | None:
+    s = device_str.lower()
+    for key, peak in _PEAKS.items():
+        if key in s:
+            return peak
+    return None
 
 
 def main():
@@ -83,98 +94,117 @@ def main():
         nms_radius=0.10,
     )
     ds = SyntheticPairDataset(
-        num_pairs=ITERS + WARMUP, num_corr=N_CORR, inlier_ratio=0.3, seed=7
+        num_pairs=STREAM, num_corr=N_CORR, inlier_ratio=0.3, seed=7
     )
-    batches = []
-    for i in range(ITERS + WARMUP):
-        s = ds[i]
-        batches.append(
-            (
-                jnp.asarray(s["corr_pos"])[None],
-                jnp.asarray(s["src_keypts"])[None],
-                jnp.asarray(s["tgt_keypts"])[None],
-            )
-        )
+    samples = [ds[i] for i in range(STREAM)]
+    stream = tuple(
+        jnp.asarray(np.stack([s[key] for s in samples]))
+        for key in ("corr_pos", "src_keypts", "tgt_keypts")
+    )
+    single = tuple(x[:1] for x in stream)
 
-    variables = model.init(jax.random.key(0), *batches[0])
+    variables = model.init(jax.random.key(0), *single)
     on_tpu = jax.default_backend() == "tpu"
     model_approx = model.clone(approx_knn=True)
 
-    @jax.jit
-    def forward_dense(corr_pos, src, tgt):
-        out = model.apply(variables, corr_pos, src, tgt, testing=True)
-        return out.final_trans, out.final_labels
-
-    @jax.jit
-    def forward_fused(corr_pos, src, tgt):
-        out = model.apply(
-            variables, corr_pos, src, tgt, testing=True, fused_attention=True
-        )
-        return out.final_trans, out.final_labels
-
-    @jax.jit
-    def forward_fused_approx(corr_pos, src, tgt):
-        out = model_approx.apply(
-            variables, corr_pos, src, tgt, testing=True, fused_attention=True
-        )
-        return out.final_trans, out.final_labels
-
     rtt = measure_rtt()
-    p50_dense = bench_variant(forward_dense, batches)
-    p50_fused = bench_variant(forward_fused, batches) if on_tpu else float("inf")
-    p50_fa = (
-        bench_variant(forward_fused_approx, batches) if on_tpu else float("inf")
-    )
 
-    timings = {"dense": p50_dense, "fused": p50_fused, "fused_approx": p50_fa}
-    variant = min(timings, key=timings.get)
-    p50 = timings[variant]
+    def stream_fn(m, fused):
+        @jax.jit
+        def run(corr_pos, src, tgt):
+            def one(args):
+                cp, s, t = args
+                out = m.apply(
+                    variables, cp[None], s[None], t[None],
+                    testing=True, fused_attention=fused,
+                )
+                return out.final_trans[0]
 
-    # Throughput: run a stream of pairs inside ONE dispatch (lax.map) and
-    # subtract the measured RTT baseline -- this isolates the per-pair device
-    # cost that serving throughput is built from.
-    stream = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *batches[:8]
-    )
+            return jax.lax.map(one, (corr_pos, src, tgt))
 
-    stream_model = model_approx if variant == "fused_approx" else model
-    use_fused = variant != "dense"
+        return run
+
+    def measure_stream(m, fused):
+        run = stream_fn(m, fused)
+        fetch(run(*stream))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch(run(*stream))
+            times.append(time.perf_counter() - t0)
+        return max(float(np.median(times)) - rtt, 1e-9) / STREAM
+
+    variants = {"dense": (model, False)}
+    if on_tpu:
+        variants["fused"] = (model, True)
+        variants["fused_approx"] = (model_approx, True)
+
+    per_pair = {name: measure_stream(m, f) for name, (m, f) in variants.items()}
+
+    exact_names = [n for n in per_pair if n != "fused_approx"]
+    variant = min(exact_names, key=lambda n: per_pair[n])
+    headline = per_pair[variant]
+
+    # single-dispatch latency of the winning exact variant
+    m, fused = variants[variant]
 
     @jax.jit
-    def forward_stream(corr_pos, src, tgt):
-        def one(args):
-            cp, s, t = args
-            out = stream_model.apply(
-                variables, cp[None], s[None], t[None],
-                testing=True, fused_attention=use_fused,
-            )
-            return out.final_trans[0]
+    def fwd_single(corr_pos, src, tgt):
+        out = m.apply(variables, corr_pos, src, tgt, testing=True,
+                      fused_attention=fused)
+        return out.final_trans, out.final_labels
 
-        return jax.lax.map(one, (corr_pos, src, tgt))
-
-    fetch(forward_stream(*stream))
-    times = []
-    for _ in range(3):
+    fetch(fwd_single(*single)[0])
+    ts = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        fetch(forward_stream(*stream))
-        times.append(time.perf_counter() - t0)
-    per_pair_device = max(float(np.median(times)) - rtt, 1e-9) / 8
+        fetch(fwd_single(*single)[0])
+        ts.append(time.perf_counter() - t0)
+    p50_single = float(np.median(ts))
+
+    # MFU from XLA's FLOP count of the DENSE single-pair executable —
+    # the algorithmic FLOPs (custom Pallas kernels report no flops to the
+    # cost model, so the fused executable undercounts; flash-attention
+    # convention is to rate fused kernels by dense-equivalent work)
+    @jax.jit
+    def fwd_dense_ref(corr_pos, src, tgt):
+        out = model.apply(variables, corr_pos, src, tgt, testing=True)
+        return out.final_trans
+
+    flops = mfu = achieved_tflops = None
+    try:
+        cost = fwd_dense_ref.lower(*single).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    device = str(jax.devices()[0])
+    peak = chip_peak_flops(device)
+    if flops and peak:
+        achieved_tflops = flops / headline / 1e12
+        mfu = flops / headline / peak
 
     print(
         json.dumps(
             {
                 "metric": "pointdsc_e2e_pair_time_n5k",
-                "value": round(per_pair_device * 1000, 3),
+                "value": round(headline * 1000, 3),
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_SEC_PER_PAIR / per_pair_device, 3),
-                "pairs_per_sec_per_chip": round(1.0 / per_pair_device, 2),
-                "single_dispatch_p50_ms": round(p50 * 1000, 3),
-                "rtt_ms": round(rtt * 1000, 3),
+                "vs_baseline": round(BASELINE_SEC_PER_PAIR / headline, 3),
+                "pairs_per_sec_per_chip": round(1.0 / headline, 2),
                 "variant": variant,
-                "dense_ms": round(p50_dense * 1000, 3),
-                "fused_ms": round(p50_fused * 1000, 3) if on_tpu else None,
-                "fused_approx_ms": round(p50_fa * 1000, 3) if on_tpu else None,
-                "device": str(jax.devices()[0]),
+                "stream_ms": {
+                    name: round(v * 1000, 3) for name, v in per_pair.items()
+                },
+                "single_dispatch_p50_ms": round(p50_single * 1000, 3),
+                "rtt_ms": round(rtt * 1000, 3),
+                "flops_per_pair": flops,
+                "achieved_tflops": (
+                    round(achieved_tflops, 2) if achieved_tflops else None
+                ),
+                "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+                "device": device,
             }
         )
     )

@@ -29,6 +29,10 @@ def main(argv=None):
         "--fused_attention", default="auto", choices=["auto", "true", "false"],
         help="Pallas fused attention kernels (auto: on for TPU backends)",
     )
+    parser.add_argument(
+        "--sharded", default=False, type=str2bool,
+        help="fan pairs across all local devices (data-parallel eval)",
+    )
     parser.add_argument("--root", default="", type=str)
     parser.add_argument(
         "--use_predator", default=False, type=str2bool,
@@ -101,7 +105,10 @@ def main(argv=None):
         model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre,
         fused_attention=fused,
     )
-    stats, agg = evaluator.run_dataset(dataset)
+    if args.sharded:
+        stats, agg = evaluator.run_dataset_sharded(dataset)
+    else:
+        stats, agg = evaluator.run_dataset(dataset)
     print(format_scene_report(agg))
 
     os.makedirs("logs", exist_ok=True)

@@ -35,6 +35,10 @@ def main(argv=None):
         help="Pallas fused attention kernels (auto: on for TPU backends)",
     )
     parser.add_argument("--root", default="", type=str, help="override data root")
+    parser.add_argument(
+        "--sharded", default=False, type=str2bool,
+        help="fan pairs across all local devices (data-parallel eval)",
+    )
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -93,7 +97,12 @@ def main(argv=None):
         use_icp=args.use_icp, icp_threshold=cfg.inlier_threshold,
         solver=args.solver, fused_attention=fused,
     )
-    stats, agg = evaluator.run_dataset(dataset, scene_of=dataset.scene_of)
+    if args.sharded:
+        stats, agg = evaluator.run_dataset_sharded(
+            dataset, scene_of=dataset.scene_of
+        )
+    else:
+        stats, agg = evaluator.run_dataset(dataset, scene_of=dataset.scene_of)
     report = format_scene_report(agg)
     print(report)
 

@@ -29,6 +29,10 @@ def main(argv=None):
         "--fused_attention", default="auto", choices=["auto", "true", "false"],
         help="Pallas fused attention kernels (auto: on for TPU backends)",
     )
+    parser.add_argument(
+        "--sharded", default=False, type=str2bool,
+        help="fan pairs across all local devices (data-parallel eval)",
+    )
     parser.add_argument("--root", default="", type=str)
     parser.add_argument("--num_node", default=12000, type=int)
     args = parser.parse_args(argv)
@@ -98,7 +102,10 @@ def main(argv=None):
         use_icp=args.use_icp, icp_threshold=cfg.inlier_threshold,
         solver=args.solver, fused_attention=fused,
     )
-    stats, agg = evaluator.run_dataset(dataset)
+    if args.sharded:
+        stats, agg = evaluator.run_dataset_sharded(dataset)
+    else:
+        stats, agg = evaluator.run_dataset(dataset)
     report = format_scene_report(agg)
     print(report)
 

@@ -29,3 +29,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(51)  # the reference's eval seed (benchmark_utils.py:27)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full suite)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default runs skip @pytest.mark.slow (heavy integration/compile tests)
+    to keep the edit-test loop under a few minutes; `--runslow` or an
+    explicit `-m slow` selection runs everything."""
+    if config.getoption("--runslow"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return
+    skip_slow = pytest.mark.skip(reason="slow: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

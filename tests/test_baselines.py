@@ -1,6 +1,7 @@
 """Classical baselines: recovery on planted synthetic registrations."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +83,7 @@ class TestPMC:
 
 
 class TestGCRansac:
+    @pytest.mark.slow
     def test_recovers_transform(self, rng):
         """GC-RANSAC recovers a planted rigid transform and its spatially
         coherent labeling beats thresholding on clustered outliers."""
@@ -117,6 +119,7 @@ class TestGCRansac:
         precision = (lab & inl).sum() / max(lab.sum(), 1)
         assert recall > 0.8 and precision > 0.8, (recall, precision)
 
+    @pytest.mark.slow
     def test_masked_padding(self, rng):
         import jax
         import jax.numpy as jnp

@@ -1,6 +1,9 @@
 """Cached-compat fused attention vs dense + full-model equivalence."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

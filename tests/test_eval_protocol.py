@@ -1,6 +1,7 @@
 """Eval protocol: stats rows, aggregation, and the Evaluator loop."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ class TestPairStats:
 
 
 class TestEvaluator:
+    @pytest.mark.slow
     def test_synthetic_dataset_recall(self):
         """Untrained model + geometric pipeline on easy synthetic pairs must
         reach high recall (spatial consistency carries it)."""

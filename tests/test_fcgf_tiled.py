@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pointdsc_tpu.descriptors.fcgf import (
     VoxelFCGF,
     extract_features,

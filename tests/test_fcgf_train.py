@@ -1,6 +1,9 @@
 """VoxelFCGF contrastive training: loss semantics + learning smoke test."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import optax

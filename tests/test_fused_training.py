@@ -1,6 +1,9 @@
 """Training with fused attention: gradients match the dense path."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pointdsc_tpu.fusion import (
     PinholeIntrinsics,
     TSDFVolume,

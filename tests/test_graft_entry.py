@@ -7,6 +7,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 class TestGraftEntry:

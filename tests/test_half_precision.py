@@ -1,6 +1,9 @@
 """bf16 encoder variant: numerical sanity + registration recovery."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -1,6 +1,7 @@
 """Lie maps, ICP, information matrix, pose graph, ATE."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pointdsc_tpu.ops.lie import se3_exp, se3_log, so3_exp, so3_log
@@ -123,6 +124,7 @@ class TestPoseGraph:
             init.append(init[-1] @ e.transformation)
         return gt, PoseGraph(poses=init, edges=edges)
 
+    @pytest.mark.slow
     def test_optimization_reduces_ate(self, rng):
         gt, graph = self._ring_graph(rng, n=8, noise=0.05)
         before = ate_rmse(graph.poses, gt)
@@ -131,6 +133,7 @@ class TestPoseGraph:
         assert after < before, (before, after)
         assert after < 3.0, f"ATE after optimization {after} cm"
 
+    @pytest.mark.slow
     def test_bad_loop_closures_pruned(self, rng):
         gt, graph = self._ring_graph(rng, n=8, noise=0.03, bad_edges=2)
         n_edges_before = len(graph.edges)

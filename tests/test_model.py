@@ -106,6 +106,7 @@ class TestForwardShapes:
         vals = set(np.unique(np.asarray(out.final_labels)).tolist())
         assert vals.issubset({0.0, 1.0})
 
+    @pytest.mark.slow
     def test_mask_invariance(self, small_model, small_vars, rng):
         """Padding with masked garbage must not change the result."""
         cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=64)
@@ -160,6 +161,7 @@ class TestRegistrationRecovery:
         trans = fwd(variables, batch(cp), batch(src), batch(tgt))
         assert np.isfinite(np.asarray(trans)).all()
 
+    @pytest.mark.slow
     def test_grad_through_training_forward(self, rng):
         model = PointDSC(in_dim=6, num_layers=2, num_channels=32, k=12, ratio=0.2)
         cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=64)

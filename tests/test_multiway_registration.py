@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pointdsc_tpu.data import transforms_np as T
 from pointdsc_tpu.multiway.ate import ate_rmse
 from pointdsc_tpu.multiway.registration import (

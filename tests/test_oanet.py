@@ -1,6 +1,7 @@
 """OANet alternative model: shapes, gradients, learning signal."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +23,7 @@ class TestOANet:
         assert out["final_labels"].shape == (1, 128)
         assert np.isfinite(np.asarray(out["final_trans"])).all()
 
+    @pytest.mark.slow
     def test_grads_finite(self, rng):
         model = OANet(in_dim=6, num_layers=4, num_channels=16, num_clusters=4)
         cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=64)

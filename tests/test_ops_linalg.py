@@ -126,6 +126,7 @@ class TestProcrustes:
             np.einsum("bij,bkj->bik", R, R), np.broadcast_to(np.eye(3), (8, 3, 3)), atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_gradients_finite(self, rng):
         src = jnp.asarray(rng.normal(size=(1, 20, 3)).astype(np.float32))
         R = random_rotation_np(rng)

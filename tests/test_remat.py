@@ -1,6 +1,9 @@
 """remat option: gradients identical to the non-remat path."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pointdsc_tpu.fusion.camera import PinholeIntrinsics
 from pointdsc_tpu.fusion.odometry import depth_odometry, rgbd_odometry
 

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pointdsc_tpu.eval.metrics import exact_auc, rot_to_euler
 from pointdsc_tpu.models import PointDSC
 from pointdsc_tpu.ops.se3 import decompose_trans, relative_rotation_error

@@ -1,6 +1,9 @@
 """Sharded evaluation over the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pointdsc_tpu.data.synthetic import SyntheticPairDataset
 from pointdsc_tpu.eval.runner import Evaluator
 from pointdsc_tpu.models import PointDSC

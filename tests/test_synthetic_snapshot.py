@@ -1,0 +1,62 @@
+"""The committed synthetic-trained snapshot works through the eval flow.
+
+Proves the train -> snapshot -> eval loop produces a working model (VERDICT
+round-1 item 4): snapshot/PointDSC_Synthetic_release was trained by
+tools/train_synthetic.py (real 12x128 config, mixed inlier ratios 0.2/0.35/
+0.5 on planted-transform pairs) and must register >=95% of HELD-OUT
+synthetic pairs when loaded exactly the way evaluation/test_3DMatch.py
+loads release snapshots.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+SNAP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "snapshot", "PointDSC_Synthetic_release",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SNAP, "models", "model_best.pkl")),
+    reason="synthetic release snapshot not present",
+)
+
+
+@pytest.mark.slow
+def test_snapshot_eval_recall(rng):
+    from pointdsc_tpu.data import SyntheticPairDataset
+    from pointdsc_tpu.eval.runner import Evaluator
+    from pointdsc_tpu.models import PointDSC
+    from pointdsc_tpu.train.config import Config
+    from pointdsc_tpu.train.trainer import load_model_weights
+
+    cfg = Config.load(os.path.join(SNAP, "config.json"))
+    model = PointDSC(
+        in_dim=cfg.in_dim, num_layers=cfg.num_layers,
+        num_channels=cfg.num_channels, num_iterations=cfg.num_iterations,
+        ratio=cfg.ratio, sigma_d=cfg.sigma_d, k=cfg.k,
+        inlier_threshold=cfg.inlier_threshold,
+        nms_radius=cfg.inlier_threshold,
+    )
+    # held-out pairs: seeds and ratio not seen in training
+    ds = SyntheticPairDataset(
+        num_pairs=24, num_corr=cfg.num_node, inlier_ratio=0.3, seed=424242
+    )
+    ex = ds[0]
+    variables = load_model_weights(
+        model, os.path.join(SNAP, "models", "model_best.pkl"),
+        (
+            jnp.asarray(ex["corr_pos"])[None],
+            jnp.asarray(ex["src_keypts"])[None],
+            jnp.asarray(ex["tgt_keypts"])[None],
+        ),
+    )
+    evaluator = Evaluator(
+        model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre
+    )
+    stats, agg = evaluator.run_dataset(ds, verbose=False)
+    assert agg["pair_recall"] >= 95.0, agg
+    assert agg["output_f1"] > 0.6, agg

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pointdsc_tpu.data import SyntheticPairDataset, Loader
 from pointdsc_tpu.train.config import Config, default_config
 from pointdsc_tpu.train.trainer import Trainer, load_model_weights

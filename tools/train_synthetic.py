@@ -21,9 +21,28 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=150)
     parser.add_argument("--num_pairs", type=int, default=2400)
     parser.add_argument("--snapshot_dir", type=str, default="snapshot/synthetic_run")
+    parser.add_argument("--exp_id", type=str, default="synthetic_run")
+    parser.add_argument(
+        "--ratios", type=str, default="0.2,0.35,0.5",
+        help="comma-separated inlier ratios mixed into training",
+    )
     args = parser.parse_args(argv)
 
     from pointdsc_tpu.data import Loader, SyntheticPairDataset
+
+    class MixedRatios:
+        """Round-robin mix of synthetic datasets with different inlier
+        ratios (robustness across correspondence quality)."""
+
+        def __init__(self, parts):
+            self.parts = parts
+
+        def __len__(self):
+            return sum(len(p) for p in self.parts)
+
+        def __getitem__(self, i):
+            part = self.parts[i % len(self.parts)]
+            return part[(i // len(self.parts)) % len(part)]
     from pointdsc_tpu.train.config import default_config
     from pointdsc_tpu.train.trainer import Trainer
     from pointdsc_tpu.utils.seed import set_seed
@@ -35,18 +54,23 @@ def main(argv=None):
     cfg.snapshot_dir = args.snapshot_dir
     cfg.save_dir = os.path.join(args.snapshot_dir, "models")
     cfg.tboard_dir = os.path.join(args.snapshot_dir, "tb")
-    cfg.exp_id = "synthetic_run"
+    cfg.exp_id = args.exp_id
     set_seed(cfg.seed)
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.snapshot_dir, "config.json"))
 
-    train_ds = SyntheticPairDataset(
-        num_pairs=args.num_pairs, num_corr=cfg.num_node,
-        inlier_ratio=0.35, seed=0,
-    )
-    val_ds = SyntheticPairDataset(
-        num_pairs=128, num_corr=cfg.num_node, inlier_ratio=0.35, seed=9999
-    )
+    ratios = [float(r) for r in args.ratios.split(",")]
+    per = max(1, args.num_pairs // len(ratios))
+    train_ds = MixedRatios([
+        SyntheticPairDataset(num_pairs=per, num_corr=cfg.num_node,
+                             inlier_ratio=r, seed=17 * i)
+        for i, r in enumerate(ratios)
+    ])
+    val_ds = MixedRatios([
+        SyntheticPairDataset(num_pairs=64, num_corr=cfg.num_node,
+                             inlier_ratio=r, seed=9999 + i)
+        for i, r in enumerate(ratios)
+    ])
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True, num_workers=8)
     val_loader = Loader(val_ds, cfg.batch_size, shuffle=False, num_workers=8)
 
