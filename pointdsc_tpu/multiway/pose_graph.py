@@ -53,33 +53,47 @@ def _edge_residual(poses, i, j, meas_inv):
 @partial(jax.jit, static_argnames=("num_nodes",))
 def _gn_iteration(poses, src_idx, tgt_idx, meas_inv, infos, weights, num_nodes,
                   damping):
-    """One damped GN step. poses [n,4,4]; edge arrays stacked over edges."""
+    """One damped GN step. poses [n,4,4]; edge arrays stacked over edges.
 
-    def residual_fn(xi_all):
-        """xi_all [n, 6]: left-multiplied increments on current poses."""
-        upd = se3_exp(xi_all) @ poses
-        Ti = upd[src_idx]
-        Tj = upd[tgt_idx]
-        r = se3_log(meas_inv @ jnp.linalg.inv(Ti) @ Tj)  # [E, 6]
-        return r
+    The edge Jacobian is block-sparse (each residual touches only nodes i
+    and j), so we differentiate the per-edge residual wrt its TWO 6-dof
+    increments ([E,6,6] blocks) and scatter-assemble the normal equations —
+    O(E) memory instead of the dense [E,6,n,6] jacrev of every node.
+    """
 
-    xi0 = jnp.zeros((num_nodes, 6))
-    r0 = residual_fn(xi0)  # [E, 6]
+    def edge_r(xi_i, xi_j, Ti, Tj, mi):
+        Ti2 = se3_exp(xi_i) @ Ti
+        Tj2 = se3_exp(xi_j) @ Tj
+        return se3_log(mi @ jnp.linalg.inv(Ti2) @ Tj2)
 
-    # Jacobian wrt all increments, edge-wise sparse: only blocks i and j are
-    # nonzero; jacrev gives [E, 6, n, 6] which is fine at this scale but
-    # wasteful -- instead compute per-edge blocks with jvp on the two nodes.
-    J = jax.jacrev(residual_fn)(xi0)  # [E, 6, n, 6]
-    E = r0.shape[0]
-    Jf = J.reshape(E * 6, num_nodes * 6)
-    W = (weights[:, None, None] * infos).reshape(E, 6, 6)
-    # blockdiag weight applied edge-wise
-    Wr = jnp.einsum("eij,ej->ei", W, r0).reshape(E * 6)
-    JW = jnp.einsum("eik,eijn->ekjn", W, J.reshape(E, 6, num_nodes, 6))
-    JWf = JW.reshape(E * 6, num_nodes * 6)
+    E = src_idx.shape[0]
+    zero6 = jnp.zeros((E, 6), poses.dtype)
+    Ti, Tj = poses[src_idx], poses[tgt_idx]
+    r0 = jax.vmap(edge_r)(zero6, zero6, Ti, Tj, meas_inv)  # [E, 6]
+    Ji, Jj = jax.vmap(jax.jacrev(edge_r, argnums=(0, 1)))(
+        zero6, zero6, Ti, Tj, meas_inv
+    )  # each [E, 6, 6]
 
-    H = Jf.T @ JWf
-    b = Jf.T @ Wr
+    W = weights[:, None, None] * infos  # [E, 6, 6]
+    Wr = jnp.einsum("eij,ej->ei", W, r0)
+    bi = jnp.einsum("eri,er->ei", Ji, Wr)
+    bj = jnp.einsum("eri,er->ei", Jj, Wr)
+    Hii = jnp.einsum("eri,erj->eij", Ji, jnp.einsum("ers,esj->erj", W, Ji))
+    Hij = jnp.einsum("eri,erj->eij", Ji, jnp.einsum("ers,esj->erj", W, Jj))
+    Hjj = jnp.einsum("eri,erj->eij", Jj, jnp.einsum("ers,esj->erj", W, Jj))
+
+    Hb = jnp.zeros((num_nodes, 6, num_nodes, 6), poses.dtype)
+    Hb = Hb.at[src_idx, :, src_idx, :].add(Hii)
+    Hb = Hb.at[src_idx, :, tgt_idx, :].add(Hij)
+    Hb = Hb.at[tgt_idx, :, src_idx, :].add(jnp.swapaxes(Hij, -1, -2))
+    Hb = Hb.at[tgt_idx, :, tgt_idx, :].add(Hjj)
+    b = (
+        jnp.zeros((num_nodes, 6), poses.dtype)
+        .at[src_idx].add(bi)
+        .at[tgt_idx].add(bj)
+        .reshape(num_nodes * 6)
+    )
+    H = Hb.reshape(num_nodes * 6, num_nodes * 6)
     # gauge freedom: anchor node 0 by a strong prior
     anchor = jnp.zeros((num_nodes * 6,)).at[:6].set(1e6)
     H = H + jnp.diag(anchor) + damping * jnp.eye(num_nodes * 6)

@@ -34,12 +34,15 @@ def skew(w: jnp.ndarray) -> jnp.ndarray:
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: [..., 3] axis-angle -> [..., 3, 3] rotation."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS**2)  # safe sqrt; exact enough at scale
-    K = skew(w)
-    # sin(t)/t and (1-cos t)/t^2 with series fallbacks
+    # safe-where pattern: the UNTAKEN branch is still differentiated, so it
+    # must be evaluated at a benign theta (1.0), not at ~0 where the f32
+    # quotient derivatives underflow/divide-by-zero
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    K = skew(w)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS**2))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.zeros_like(K) + jnp.eye(3, dtype=w.dtype)
     return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
 
@@ -88,14 +91,24 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def _V_matrix(w: jnp.ndarray) -> jnp.ndarray:
-    """Left Jacobian of SO(3): V such that exp-translation t = V rho."""
+    """Left Jacobian of SO(3): V such that exp-translation t = V rho.
+
+    Same safe-where discipline as so3_exp: the quotient branch is evaluated
+    at theta=1 when the series branch is selected. Without it, the f32
+    derivative of (theta - sin)/theta^3 at theta ~ 1e-8 underflows
+    (denominator^2 ~ 1e-48) and poisons every downstream pose-graph
+    Jacobian with NaN.
+    """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS**2)
-    K = skew(w)
     small = theta2 < 1e-8
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS**2))
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    K = skew(w)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     C = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta + _EPS**3)
+        small,
+        1.0 / 6.0 - theta2 / 120.0,
+        (theta - jnp.sin(theta)) / (theta2_safe * theta),
     )
     eye = jnp.zeros_like(K) + jnp.eye(3, dtype=w.dtype)
     return eye + B[..., None, None] * K + C[..., None, None] * (K @ K)

@@ -42,12 +42,14 @@ def _quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     return R
 
 
-def rotation_from_covariance(H: jnp.ndarray) -> jnp.ndarray:
+def rotation_from_covariance(H: jnp.ndarray, sweeps: int = 10) -> jnp.ndarray:
     """Optimal proper rotation R maximizing tr(R H), H = sum w a b^T [..., 3, 3].
 
     Returns R with R @ a ~= b (src -> tgt). Horn (1987) quaternion method:
     the optimal quaternion is the leading eigenvector of the symmetric 4x4
-    matrix N(H) below.
+    matrix N(H) below. `sweeps` tunes the Jacobi eigensolver accuracy
+    (10 = machine precision; iterative refinement loops can run 3-4 sweeps
+    per round and polish once at the end).
     """
     Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
     Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
@@ -62,7 +64,7 @@ def rotation_from_covariance(H: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    _, V = symeig4x4(N)
+    _, V = symeig4x4(N, sweeps=sweeps)
     q = V[..., :, -1]  # leading eigenvector (eigvals ascend)
     q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
     return _quat_to_rot(q)
@@ -74,6 +76,7 @@ def weighted_procrustes(
     weights: jnp.ndarray | None = None,
     weight_threshold: float = 0.0,
     eps: float = 1e-6,
+    sweeps: int = 10,
 ) -> jnp.ndarray:
     """Weighted rigid fit src -> tgt. Returns [..., 4, 4] SE(3) transforms.
 
@@ -100,6 +103,6 @@ def weighted_procrustes(
     # H = sum_k w_k src_c_k tgt_c_k^T  ->  [..., 3, 3]
     H = jnp.einsum("...ki,...k,...kj->...ij", src_c, weights, tgt_c)
 
-    R = rotation_from_covariance(H)
+    R = rotation_from_covariance(H, sweeps=sweeps)
     t = centroid_tgt - jnp.einsum("...ij,...j->...i", R, centroid_src)
     return integrate_trans(R, t)
