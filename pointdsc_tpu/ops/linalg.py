@@ -97,3 +97,103 @@ def symeig4x4(A: jnp.ndarray, sweeps: int = 10):
     """Eigendecomposition of batched symmetric 4x4 matrices (ascending)."""
     assert A.shape[-1] == 4 and A.shape[-2] == 4
     return jacobi_eigh(A, sweeps=sweeps)
+
+
+def _det3_of(m, rows, cols):
+    """3x3 determinant of the submatrix m[..., rows, cols] (static indices)."""
+    r0, r1, r2 = rows
+    c0, c1, c2 = cols
+    a, b, c = m[..., r0, c0], m[..., r0, c1], m[..., r0, c2]
+    d, e, f = m[..., r1, c0], m[..., r1, c1], m[..., r1, c2]
+    g, h, i = m[..., r2, c0], m[..., r2, c1], m[..., r2, c2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def _det4(m):
+    """Determinant of batched 4x4 matrices by cofactor expansion (row 0)."""
+    cols = (0, 1, 2, 3)
+    out = 0.0
+    sign = 1.0
+    for j in range(4):
+        rest = tuple(c for c in cols if c != j)
+        out = out + sign * m[..., 0, j] * _det3_of(m, (1, 2, 3), rest)
+        sign = -sign
+    return out
+
+
+def _adjugate4_sym(m):
+    """Adjugate of batched *symmetric* 4x4 matrices.
+
+    adj(A)_ij = (-1)^(i+j) * minor_ji; for symmetric A the adjugate is
+    symmetric, so only the upper triangle is computed. All straight-line
+    elementwise math — XLA fuses the whole thing into one kernel.
+    """
+    idx = (0, 1, 2, 3)
+    entries = {}
+    for i in range(4):
+        for j in range(i, 4):
+            rows = tuple(r for r in idx if r != j)
+            cols = tuple(c for c in idx if c != i)
+            entries[(i, j)] = ((-1.0) ** (i + j)) * _det3_of(m, rows, cols)
+    rows_out = []
+    for i in range(4):
+        row = [entries[(min(i, j), max(i, j))] for j in range(4)]
+        rows_out.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows_out, axis=-2)
+
+
+def dominant_eigvec4x4(A: jnp.ndarray, newton_iters: int = 14):
+    """Largest eigenvalue + eigenvector of batched symmetric 4x4 matrices,
+    closed form: Newton on the characteristic quartic, eigenvector from the
+    adjugate of (A - lambda I).
+
+    Unlike `jacobi_eigh` (60 sequential Givens rotations), this is pure
+    unrolled elementwise math that XLA fuses into a handful of vector ops —
+    the difference matters inside sequential loops (post-refinement runs a
+    4x4 eigensolve per iteration; Horn Procrustes at /root/reference/
+    models/common.py:36 did this on the host CPU via SVD).
+
+    Method: shift by trace/4 so B is traceless, scale by ||B||_F so entries
+    are O(1); then p(x) = x^4 - tr(B^2)/2 x^2 - tr(B^3)/3 x + det(B).
+    x0 = 1 = ||B||_F >= lambda_max bounds the largest root from above, and
+    Newton from above a quartic's largest root converges monotonically
+    (p, p' > 0 on that side). The adjugate of the rank-3 matrix B - lambda I
+    is s*v v^T, so its largest-diagonal column is the eigenvector.
+
+    Returns (eigval [...], eigvec [..., 4] unit norm). Differentiable
+    (straight-line ops only). Degenerate inputs (multiple largest
+    eigenvalue, zero matrix) fall back to e0 = (1, 0, 0, 0).
+    """
+    assert A.shape[-1] == 4 and A.shape[-2] == 4
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    mu = jnp.trace(A, axis1=-2, axis2=-1) / 4.0
+    eye = jnp.eye(4, dtype=A.dtype)
+    B = A - mu[..., None, None] * eye
+    fro = jnp.sqrt(jnp.sum(B * B, axis=(-1, -2)))
+    scale = jnp.maximum(fro, jnp.asarray(1e-30, A.dtype))
+    Bn = B / scale[..., None, None]
+
+    # invariants of the (traceless, unit-Frobenius) Bn
+    B2 = Bn @ Bn
+    tr2 = jnp.trace(B2, axis1=-2, axis2=-1)  # == 1 up to rounding
+    e3 = jnp.sum(B2 * Bn, axis=(-1, -2)) / 3.0  # tr(Bn^3)/3 (Bn symmetric)
+    e4 = _det4(Bn)
+    c2 = -0.5 * tr2
+
+    lam = jnp.ones_like(tr2)
+    for _ in range(newton_iters):
+        lam2 = lam * lam
+        p = lam2 * lam2 + c2 * lam2 - e3 * lam + e4
+        dp = 4.0 * lam2 * lam + 2.0 * c2 * lam - e3
+        lam = lam - p / jnp.maximum(dp, jnp.asarray(1e-12, A.dtype))
+
+    C = Bn - lam[..., None, None] * eye
+    adj = _adjugate4_sym(C)
+    diag = jnp.abs(jnp.diagonal(adj, axis1=-2, axis2=-1))  # s * v_i^2
+    col = jnp.argmax(diag, axis=-1)
+    v = jnp.take_along_axis(adj, col[..., None, None], axis=-1)[..., 0]
+    nv = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+    tiny = jnp.asarray(1e-20, A.dtype)
+    v = jnp.where(nv > tiny, v / jnp.maximum(nv, tiny), fallback)
+    return lam * scale + mu, v

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from pointdsc_tpu.ops.linalg import symeig4x4
+from pointdsc_tpu.ops.linalg import dominant_eigvec4x4, symeig4x4
 from pointdsc_tpu.ops.se3 import integrate_trans
 
 
@@ -42,14 +42,19 @@ def _quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     return R
 
 
-def rotation_from_covariance(H: jnp.ndarray, sweeps: int = 10) -> jnp.ndarray:
+def rotation_from_covariance(
+    H: jnp.ndarray, sweeps: int = 10, method: str = "newton"
+) -> jnp.ndarray:
     """Optimal proper rotation R maximizing tr(R H), H = sum w a b^T [..., 3, 3].
 
     Returns R with R @ a ~= b (src -> tgt). Horn (1987) quaternion method:
     the optimal quaternion is the leading eigenvector of the symmetric 4x4
-    matrix N(H) below. `sweeps` tunes the Jacobi eigensolver accuracy
-    (10 = machine precision; iterative refinement loops can run 3-4 sweeps
-    per round and polish once at the end).
+    matrix N(H) below.
+
+    method: "newton" (default) solves the characteristic quartic directly —
+    straight-line fusable math, the fast path inside sequential refinement
+    loops; "jacobi" runs `sweeps` cyclic Jacobi sweeps (orthogonal
+    transforms, gap-independent accuracy).
     """
     Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
     Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
@@ -64,8 +69,11 @@ def rotation_from_covariance(H: jnp.ndarray, sweeps: int = 10) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    _, V = symeig4x4(N, sweeps=sweeps)
-    q = V[..., :, -1]  # leading eigenvector (eigvals ascend)
+    if method == "newton":
+        _, q = dominant_eigvec4x4(N)
+    else:
+        _, V = symeig4x4(N, sweeps=sweeps)
+        q = V[..., :, -1]  # leading eigenvector (eigvals ascend)
     q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
     return _quat_to_rot(q)
 
@@ -77,6 +85,7 @@ def weighted_procrustes(
     weight_threshold: float = 0.0,
     eps: float = 1e-6,
     sweeps: int = 10,
+    method: str = "newton",
 ) -> jnp.ndarray:
     """Weighted rigid fit src -> tgt. Returns [..., 4, 4] SE(3) transforms.
 
@@ -103,6 +112,6 @@ def weighted_procrustes(
     # H = sum_k w_k src_c_k tgt_c_k^T  ->  [..., 3, 3]
     H = jnp.einsum("...ki,...k,...kj->...ij", src_c, weights, tgt_c)
 
-    R = rotation_from_covariance(H, sweeps=sweeps)
+    R = rotation_from_covariance(H, sweeps=sweeps, method=method)
     t = centroid_tgt - jnp.einsum("...ij,...j->...i", R, centroid_src)
     return integrate_trans(R, t)

@@ -142,3 +142,75 @@ class TestProcrustes:
     def test_rotation_from_covariance_identity(self):
         R = rotation_from_covariance(jnp.eye(3)[None])
         np.testing.assert_allclose(np.asarray(R)[0], np.eye(3), atol=1e-6)
+
+
+class TestDominantEigvec4x4:
+    """Newton-on-quartic dominant eigenpair vs LAPACK (the fast path used
+    by weighted_procrustes(method="newton") inside refinement loops)."""
+
+    def test_matches_lapack(self, rng):
+        from pointdsc_tpu.ops.linalg import dominant_eigvec4x4
+
+        A = rng.normal(size=(500, 4, 4)).astype(np.float32)
+        A = 0.5 * (A + A.transpose(0, 2, 1))
+        lam, v = jax.jit(dominant_eigvec4x4)(jnp.asarray(A))
+        w_ref, V_ref = np.linalg.eigh(A.astype(np.float64))
+        align = np.abs(np.sum(np.asarray(v) * V_ref[:, :, -1], axis=-1))
+        assert align.min() > 1.0 - 1e-5
+        rel = np.abs(np.asarray(lam) - w_ref[:, -1]) / np.maximum(
+            np.abs(w_ref[:, -1]), 1e-6
+        )
+        assert rel.max() < 5e-3  # near-double roots converge linearly
+
+    def test_large_scale_entries(self, rng):
+        """KITTI-magnitude covariance sums (~1e7) must not overflow f32."""
+        from pointdsc_tpu.ops.linalg import dominant_eigvec4x4
+
+        A = rng.normal(size=(64, 4, 4)).astype(np.float32) * 3e7
+        A = 0.5 * (A + A.transpose(0, 2, 1))
+        lam, v = dominant_eigvec4x4(jnp.asarray(A))
+        assert np.isfinite(np.asarray(lam)).all()
+        w_ref, V_ref = np.linalg.eigh(A.astype(np.float64))
+        align = np.abs(np.sum(np.asarray(v) * V_ref[:, :, -1], axis=-1))
+        assert align.min() > 1.0 - 1e-5
+
+    def test_zero_matrix_fallback(self):
+        from pointdsc_tpu.ops.linalg import dominant_eigvec4x4
+
+        lam, v = dominant_eigvec4x4(jnp.zeros((2, 4, 4)))
+        assert np.isfinite(np.asarray(v)).all()
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1), 1.0)
+
+    def test_gradients_finite(self, rng):
+        from pointdsc_tpu.ops.linalg import dominant_eigvec4x4
+
+        A = rng.normal(size=(4, 4)).astype(np.float32)
+        A = 0.5 * (A + A.T)
+
+        def loss(a):
+            lam, v = dominant_eigvec4x4(a)
+            return lam + jnp.sum(v**2 * jnp.arange(4.0))
+
+        g = jax.grad(loss)(jnp.asarray(A))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_newton_refinement_equals_jacobi_refinement(self, rng):
+        """The two procrustes methods must agree through an IRLS-style loop."""
+        R = random_rotation_np(rng)
+        t = rng.normal(size=3)
+        src = rng.normal(size=(200, 3)).astype(np.float32)
+        tgt = (src @ R.T + t).astype(np.float32)
+        tgt[:60] += rng.normal(size=(60, 3)).astype(np.float32)  # outliers
+
+        def refine(method):
+            trans = jnp.eye(4)
+            for _ in range(5):
+                warped = src @ trans[:3, :3].T + trans[:3, 3]
+                dist = jnp.linalg.norm(warped - jnp.asarray(tgt), axis=-1)
+                w = (dist < 0.5).astype(jnp.float32) / (1.0 + (dist / 0.5) ** 2)
+                trans = weighted_procrustes(
+                    jnp.asarray(src), jnp.asarray(tgt), w, method=method
+                )
+            return np.asarray(trans)
+
+        np.testing.assert_allclose(refine("newton"), refine("jacobi"), atol=1e-4)
