@@ -283,7 +283,7 @@ def _sc_attention_cached_kernel(
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def _fused_sc_attention_cached_single(
-    q, k, v, compat, geom, block_q=512, block_k=1024, interpret=False
+    q, k, v, compat, geom, block_q=1024, block_k=1024, interpret=False
 ):
     n, c = q.shape
     bq, bk = min(block_q, n), min(block_k, n)
@@ -310,7 +310,7 @@ def _fused_sc_attention_cached_single(
 
 
 def fused_sc_attention_cached(
-    q, k, v, compat, src, tgt, mask=None, block_q=512, block_k=1024,
+    q, k, v, compat, src, tgt, mask=None, block_q=1024, block_k=1024,
     interpret=None, use_bf16=True,
 ):
     """Batched cached-compat fused attention.
@@ -608,7 +608,7 @@ def _trainable_bwd(sigma_d, block_q, block_k, interpret, res, do):
 sc_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
-def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=512, block_k=1024,
+def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=None, block_k=None,
                          interpret=None, trainable=False, compat_cache=None):
     """Adapter producing the `attention_fn(q, k, v, mask)` hook consumed by
     NonLocalBlock: closes over the pair geometry so each of the 12 layers
@@ -624,14 +624,22 @@ def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=512, block_k=1024
         interpret = jax.default_backend() != "tpu"
 
     if compat_cache is not None and not trainable:
+        # the cached kernel is HBM-streaming-bound: bigger query tiles mean
+        # fewer K/V re-reads and less online-softmax rescale work (tuned on
+        # v5e: 1024x1024 ~20% faster than 512x1024)
+        bq = 1024 if block_q is None else block_q
+        bk = 1024 if block_k is None else block_k
+
         def attention_fn(q, k, v, inner_mask):
             del inner_mask
             return fused_sc_attention_cached(
                 q, k, v, compat_cache, src, tgt, mask=mask,
-                block_q=block_q, block_k=block_k, interpret=interpret,
+                block_q=bq, block_k=bk, interpret=interpret,
             )
 
         return attention_fn
+    block_q = 512 if block_q is None else block_q
+    block_k = 1024 if block_k is None else block_k
 
     if trainable:
         if mask is None:

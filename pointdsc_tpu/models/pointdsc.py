@@ -182,7 +182,9 @@ class PointDSC(nn.Module):
 
         # ---- Step 5: test-time post refinement.
         if testing:
-            final_trans = self.post_refinement(final_trans, src_keypts, tgt_keypts, mask)
+            final_trans = self.post_refinement(
+                final_trans, src_keypts, tgt_keypts, mask, fused=fused_attention
+            )
             warped = transform(src_keypts, final_trans)
             dist = jnp.linalg.norm(warped - tgt_keypts, axis=-1)
             final_labels = ((dist < self.inlier_threshold) & mask).astype(jnp.float32)
@@ -304,7 +306,8 @@ class PointDSC(nn.Module):
         return seed_trans, seed_fitness, final_trans, final_labels
 
     # ------------------------------------------------------------------
-    def post_refinement(self, initial_trans, src_keypts, tgt_keypts, mask):
+    def post_refinement(self, initial_trans, src_keypts, tgt_keypts, mask,
+                        fused: bool = False):
         """Iteratively re-weighted refinement (reference PointDSC.py:403-438).
 
         Up to `refine_iters` rounds of {warp, threshold inliers, re-fit with
@@ -312,9 +315,21 @@ class PointDSC(nn.Module):
         its inlier count stops changing, matching the reference early break.
         Boolean indexing becomes zero-weighting, which is mathematically
         identical for the weighted Procrustes fit.
+
+        With `fused` (the TPU fast path, enabled alongside fused attention)
+        each iteration's point-loop reduction runs as one Pallas kernel
+        (kernels/refine.py) instead of ~a dozen small XLA ops.
         """
         # reference uses 1.2 for KITTI-config models (inlier_threshold != 0.10)
         thr = 0.10 if self.inlier_threshold == 0.10 else 1.2
+
+        if fused and self.refine_iters > 0:
+            from pointdsc_tpu.kernels.refine import fused_post_refinement
+
+            return fused_post_refinement(
+                initial_trans, src_keypts, tgt_keypts, mask, thr,
+                self.refine_iters,
+            )
 
         def body(state):
             trans, prev_num, active, it = state
