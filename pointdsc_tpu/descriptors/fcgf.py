@@ -135,11 +135,16 @@ def extract_features_tiled(
     voxel_size: float = 0.30,
     grid_size: int = 96,
     halo: int = 8,
+    tile_batch: int = 4,
 ):
     """Outdoor-scale extraction (KITTI at 30 cm voxels over ~100 m): the
     cloud is processed in overlapping spatial tiles of `grid_size` voxels;
     each point's descriptor comes from the tile whose interior contains it
     (the `halo` border absorbs convolution boundary effects).
+
+    Tiles run through the U-Net `tile_batch` at a time in one batched
+    dispatch (the last batch is padded with empty grids), so a ~100 m KITTI
+    cloud is a handful of device calls instead of one per occupied tile.
 
     Returns (keypts [M, 3], features [M, out_dim]) over all occupied voxels.
     """
@@ -148,7 +153,8 @@ def extract_features_tiled(
     extent = int(grid_size - 2 * halo)
     tile_idx = np.floor((pts - origin) / (voxel_size * extent)).astype(np.int64)
 
-    all_k, all_f = [], []
+    # host-side prep: per-tile occupancy grid + unique occupied voxels
+    tiles = []  # (occ, uniq_idx, tile_origin, tile_coord)
     for t in np.unique(tile_idx, axis=0):
         tile_origin = origin + t * voxel_size * extent - halo * voxel_size
         local = pts - tile_origin
@@ -159,16 +165,35 @@ def extract_features_tiled(
         sel = pts[inside | interior]
         if len(sel) == 0:
             continue
-        keypts, feats = extract_features(
-            model, variables, sel - tile_origin, voxel_size, grid_size,
-            origin=np.zeros(3),  # pin the tile grid to tile_origin
+        occ, idx, _ = voxelize(
+            sel - tile_origin, voxel_size, grid_size, origin=np.zeros(3)
         )
-        keypts = keypts + tile_origin
-        # keep only interior voxels (avoid duplicates across tiles)
-        rel = (keypts - (origin + t * voxel_size * extent)) / (voxel_size * extent)
-        keep = np.all((rel >= 0) & (rel < 1.0), axis=1)
-        all_k.append(keypts[keep])
-        all_f.append(feats[keep])
-    if not all_k:
+        uniq = np.unique(idx, axis=0)
+        tiles.append((occ, uniq, tile_origin, t))
+    if not tiles:
         return np.zeros((0, 3), np.float32), np.zeros((0, model.out_dim), np.float32)
+
+    # one jitted batched apply, padded to a fixed tile_batch
+    apply = jax.jit(partial(model.apply, train=False))
+
+    all_k, all_f = [], []
+    for lo in range(0, len(tiles), tile_batch):
+        chunk = tiles[lo : lo + tile_batch]
+        occs = np.stack([c[0] for c in chunk])
+        if len(chunk) < tile_batch:  # pad: empty grids compile-share the shape
+            occs = np.concatenate(
+                [occs, np.zeros((tile_batch - len(chunk),) + occs.shape[1:],
+                                np.float32)]
+            )
+        grids = np.asarray(apply(variables, jnp.asarray(occs)))
+        for (occ, uniq, tile_origin, t), grid in zip(chunk, grids):
+            feats = grid[uniq[:, 0], uniq[:, 1], uniq[:, 2]]
+            keypts = (uniq.astype(np.float64) + 0.5) * voxel_size + tile_origin
+            # keep only interior voxels (avoid duplicates across tiles)
+            rel = (keypts - (origin + t * voxel_size * extent)) / (
+                voxel_size * extent
+            )
+            keep = np.all((rel >= 0) & (rel < 1.0), axis=1)
+            all_k.append(keypts[keep].astype(np.float32))
+            all_f.append(feats[keep])
     return np.concatenate(all_k), np.concatenate(all_f)

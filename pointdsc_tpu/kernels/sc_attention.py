@@ -254,7 +254,12 @@ def _sc_attention_cached_kernel(
 
     f32 = jnp.float32
     bias_k = geom_k_ref[8:9, :]
-    compat = compat_ref[:].astype(f32)
+    compat = compat_ref[:]
+    if compat.dtype == jnp.int8:
+        # quantized cache: values in [0, 1] stored as round(c * 127)
+        compat = compat.astype(f32) * (1.0 / 127.0)
+    else:
+        compat = compat.astype(f32)
 
     c = q_ref.shape[-1]
     logits = jax.lax.dot_general(
