@@ -155,10 +155,13 @@ def main():
     if on_tpu:
         variants["fused"] = (model, True)
         variants["fused_approx"] = (model_approx, True)
+        # bf16 activation chains (opt-in half_precision): reported alongside,
+        # never the headline -- the headline keeps f32 activations
+        variants["fused_bf16"] = (model.clone(half_precision=True), True)
 
     per_pair = {name: measure_stream(m, f) for name, (m, f) in variants.items()}
 
-    exact_names = [n for n in per_pair if n != "fused_approx"]
+    exact_names = [n for n in per_pair if n not in ("fused_approx", "fused_bf16")]
     variant = min(exact_names, key=lambda n: per_pair[n])
     headline = per_pair[variant]
 

@@ -53,23 +53,31 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,), self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,), self.dtype)
 
+        # statistics always accumulate in the promoted (f32/f64) dtype; the
+        # normalized output is returned in x's own dtype so bf16 activation
+        # chains stay bf16 through Dense -> BN -> ReLU (HBM traffic halves)
+        acc = _acc_dtype(x.dtype)
+        xs = x.astype(acc)
         if train:
             if mask is None:
-                mean = jnp.mean(x, axis=(0, 1))
-                var = jnp.mean((x - mean) ** 2, axis=(0, 1))
+                mean = jnp.mean(xs, axis=(0, 1))
+                var = jnp.mean((xs - mean) ** 2, axis=(0, 1))
             else:
-                m = mask[..., None].astype(x.dtype)
+                m = mask[..., None].astype(acc)
                 count = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=(0, 1)) / count
-                var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / count
+                mean = jnp.sum(xs * m, axis=(0, 1)) / count
+                var = jnp.sum(((xs - mean) ** 2) * m, axis=(0, 1)) / count
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
-            mean, var = ra_mean.value, ra_var.value
+            mean, var = ra_mean.value.astype(acc), ra_var.value.astype(acc)
 
-        y = (x - mean) / jnp.sqrt(var + self.epsilon)
-        return y * scale + bias
+        # y = x * a + b (a, b computed in acc dtype, applied in x.dtype --
+        # XLA folds the per-channel scale/shift into the producing matmul)
+        a = scale.astype(acc) / jnp.sqrt(var + self.epsilon)
+        b = bias.astype(acc) - mean * a
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
 class EdgeConv(nn.Module):
@@ -142,7 +150,7 @@ class PointCNLayer(nn.Module):
             kernel_init=nn.initializers.xavier_normal(),
             dtype=self.compute_dtype,
         )(x)
-        x = MaskedBatchNorm()(x.astype(_acc_dtype(x.dtype)), mask=mask, train=train)
+        x = MaskedBatchNorm()(x, mask=mask, train=train)
         return nn.relu(x)
 
 
@@ -176,10 +184,10 @@ class NonLocalBlock(nn.Module):
         v = nn.Dense(c, kernel_init=xavier, dtype=cdt, name="projection_v")(feat)
 
         if attention_fn is not None:
-            message = attention_fn(
-                q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-                mask,
-            )
+            # kernels normalize dtypes themselves (bf16 streams, f32 accum);
+            # casting here would force a redundant f32 round-trip on bf16
+            # activation chains
+            message = attention_fn(q, k, v, mask)
         else:
             b, n, _ = feat.shape
             qh = q.reshape(b, n, h, c // h)
@@ -205,13 +213,13 @@ class NonLocalBlock(nn.Module):
         message = nn.Dense(c // 2, kernel_init=xavier, dtype=cdt,
                            name="fc_message_0")(message)
         message = MaskedBatchNorm(name="fc_message_bn0")(
-            message.astype(_acc_dtype(message.dtype)), mask=mask, train=train
+            message, mask=mask, train=train
         )
         message = nn.relu(message)
         message = nn.Dense(c // 2, kernel_init=xavier, dtype=cdt,
                            name="fc_message_1")(message)
         message = MaskedBatchNorm(name="fc_message_bn1")(
-            message.astype(_acc_dtype(message.dtype)), mask=mask, train=train
+            message, mask=mask, train=train
         )
         message = nn.relu(message)
         message = nn.Dense(c, kernel_init=xavier, dtype=cdt,
