@@ -7,12 +7,14 @@ hypotheses, post-refinement) at ~5000 correspondences -- the 3DMatch 'all'
 eval regime (BASELINE.md: eval correspondence counts ~5k).
 
 Methodology (round-2, fixing the round-1 RTT confound): EVERY variant is
-stream-measured -- 8 pairs per dispatch via lax.map, median of 3 runs, the
-independently measured RTT subtracted -- so variant selection is decided by
-device time, not tunnel noise. The headline number is the best EXACT
-variant (dense or fused attention; both use exact NSM neighborhoods via
-approx_max_k(recall_target=1.0), which is exact). The approximate-knn
-variant (recall 0.95) is reported alongside, never as the headline.
+stream-measured -- 32 pairs per dispatch via lax.map, median of 5 runs,
+with the tunnel RTT re-measured interleaved with every rep (it drifts by
+several ms over a run) and its median subtracted -- so variant selection
+is decided by device time, not tunnel noise. The headline number is the
+best EXACT variant (dense or fused attention; both use exact NSM
+neighborhoods via approx_max_k(recall_target=1.0), which is exact, and
+f32 activations). The approximate-knn variant (recall 0.95) and the
+bf16-activation-chain variant are reported alongside, never as headline.
 
 MFU: FLOPs come from XLA's own cost model (compiled.cost_analysis()) of the
 headline executable, divided by measured device time and the chip's bf16

@@ -128,6 +128,9 @@ def extract_features(
     return keypts.astype(np.float32), feats
 
 
+_tiled_apply_cache: dict = {}
+
+
 def extract_features_tiled(
     model: VoxelFCGF,
     variables,
@@ -173,8 +176,13 @@ def extract_features_tiled(
     if not tiles:
         return np.zeros((0, 3), np.float32), np.zeros((0, model.out_dim), np.float32)
 
-    # one jitted batched apply, padded to a fixed tile_batch
-    apply = jax.jit(partial(model.apply, train=False))
+    # one jitted batched apply, padded to a fixed tile_batch; cached per
+    # model so repeated calls (batch descriptor prep loops over thousands
+    # of clouds) compile the U-Net once, not once per cloud
+    apply = _tiled_apply_cache.get(id(model))
+    if apply is None:
+        apply = jax.jit(partial(model.apply, train=False))
+        _tiled_apply_cache[id(model)] = apply
 
     all_k, all_f = [], []
     for lo in range(0, len(tiles), tile_batch):

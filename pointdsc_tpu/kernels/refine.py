@@ -169,8 +169,13 @@ def fused_post_refinement(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    anchor_s = jnp.mean(src_keypts, axis=1)  # [B, 3]
-    anchor_t = jnp.mean(tgt_keypts, axis=1)
+    # masked mean: zero-padded entries must not drag the anchor toward the
+    # origin, or far-from-origin clouds (KITTI) lose the cancellation bound
+    # the Gram-form covariance depends on
+    m = mask[..., None].astype(src_keypts.dtype)
+    count = jnp.maximum(jnp.sum(m, axis=1), 1.0)  # [B, 1]
+    anchor_s = jnp.sum(src_keypts * m, axis=1) / count  # [B, 3]
+    anchor_t = jnp.sum(tgt_keypts * m, axis=1) / count
 
     def one(trans0, src, tgt, m, a_s, a_t):
         strip = pack_refine_strip(src - a_s, tgt - a_t, m)

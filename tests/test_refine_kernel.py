@@ -128,3 +128,39 @@ class TestFusedPostRefinement:
             jnp.asarray(mask_a), 0.10, 20, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(fu)[0], np.asarray(one_a)[0], atol=1e-5)
+
+    def test_heavily_padded_offset_cloud(self, rng):
+        """Half the bucket is zero-padding and the cloud sits 200 m from
+        the origin: the anchor must come from the masked mean, or the
+        padding drags it to ~half the offset and the f32 Gram loses the
+        cancellation bound."""
+        n_valid, n_pad = 600, 600
+        R = _random_rotation(rng)
+        t = rng.normal(size=3).astype(np.float32)
+        src_v = (rng.uniform(-20, 20, (n_valid, 3)) + 200.0).astype(np.float32)
+        tgt_v = src_v @ R.T + t
+        n_out = 250
+        tgt_v[:n_out] += rng.normal(size=(n_out, 3)).astype(np.float32) * 3
+        src = np.concatenate([src_v, np.zeros((n_pad, 3), np.float32)])[None]
+        tgt = np.concatenate([tgt_v, np.zeros((n_pad, 3), np.float32)])[None]
+        mask = np.concatenate([np.ones(n_valid, bool), np.zeros(n_pad, bool)])[None]
+        T0 = np.eye(4, dtype=np.float32)
+        T0[:3, :3] = R
+        T0[:3, 3] = t + 0.3
+
+        model = PointDSC(refine_iters=20, inlier_threshold=0.6)
+        jn = np.asarray(
+            model.post_refinement(
+                jnp.asarray(T0)[None], jnp.asarray(src), jnp.asarray(tgt),
+                jnp.asarray(mask),
+            )
+        )
+        fu = np.asarray(
+            fused_post_refinement(
+                jnp.asarray(T0)[None], jnp.asarray(src), jnp.asarray(tgt),
+                jnp.asarray(mask), 1.2, 20, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(fu[:, :3, :3], jn[:, :3, :3], atol=1e-4)
+        np.testing.assert_allclose(fu[:, :3, 3], jn[:, :3, 3], atol=2e-2)
+        assert np.abs(fu[0, :3, :3] - R).max() < 1e-3

@@ -36,13 +36,30 @@ def main():
         return x + 1.0
 
     np.asarray(trivial(jnp.zeros(4)))
-    rts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(trivial(jnp.zeros(4)))
-        rts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rts))
-    print(f"rtt {rtt*1000:.1f} ms", flush=True)
+
+    def measure_rtt():
+        rts_ = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(trivial(jnp.zeros(4)))
+            rts_.append(time.perf_counter() - t0)
+        return float(np.median(rts_))
+
+    def chain_overhead():
+        """Per-dispatch overhead of a chained-async sequence (beyond one
+        RTT): measured on the trivial program."""
+        ts_, rt_ = [], []
+        for _ in range(3):
+            rt_.append(measure_rtt())
+            c = jnp.zeros(4)
+            t0 = time.perf_counter()
+            for _ in range(8):
+                c = trivial(c)
+            float(c[0])
+            ts_.append(time.perf_counter() - t0)
+        return max(float(np.median(ts_)) - float(np.median(rt_)), 0.0) / 8
+
+    print(f"rtt {measure_rtt()*1000:.1f} ms", flush=True)
 
     all_sizes = {12288: "KITTI-12k", 20480: "Redwood-20k", 24576: "24k"}
     for n_corr in sizes:
@@ -64,30 +81,6 @@ def main():
                 )
             )
         variables = model.init(jax.random.key(0), *batches[0])
-
-        def measure_rtt():
-            rts_ = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                np.asarray(trivial(jnp.zeros(4)))
-                rts_.append(time.perf_counter() - t0)
-            return float(np.median(rts_))
-
-        def chain_overhead():
-            """Per-dispatch overhead of a chained-async sequence (beyond
-            one RTT): measured on the trivial program."""
-            ts_, rt_ = [], []
-            for _ in range(3):
-                rt_.append(measure_rtt())
-                c = jnp.zeros(4)
-                t0 = time.perf_counter()
-                for _ in range(8):
-                    c = trivial(c)
-                float(c[0])
-                ts_.append(time.perf_counter() - t0)
-            return max(
-                float(np.median(ts_)) - float(np.median(rt_)), 0.0
-            ) / 8
 
         # Methodology: at these sizes one lax.map program takes too long to
         # compile, and a single dispatch is smaller than the tunnel-RTT
@@ -123,8 +116,10 @@ def main():
                     float(c)
                     ts.append(time.perf_counter() - t0)
                 per = max(
-                    float(np.median(ts)) - float(np.median(rts_)), 0.0
-                ) / 8 - overhead
+                    (float(np.median(ts)) - float(np.median(rts_))) / 8
+                    - overhead,
+                    0.0,
+                )
                 print(f"{tag} N={n_corr} {variant:6s}: {per*1000:8.2f} ms/pair",
                       flush=True)
             except Exception as e:  # noqa: BLE001
