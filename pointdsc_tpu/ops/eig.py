@@ -28,15 +28,30 @@ def power_iteration(
     """
     v0 = jnp.ones(M.shape[:-1] + (1,), dtype=M.dtype)
 
-    def body(_, v):
-        v = M @ v
+    def _unit(v):
         # sqrt(sum + tiny) keeps the gradient finite when M is all-zero
         # (e.g. a fully-outlier seed neighborhood): jnp.linalg.norm has a
         # NaN gradient at exactly 0.
         norm = jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True) + 1e-30)
         return v / (norm + eps)
 
-    v = jax.lax.fori_loop(0, num_iters, body, v0)
+    # Per-step normalization only rescales — the direction after k steps is
+    # exactly M^k v0 — so the k sequential matvecs collapse to binary
+    # exponentiation: log2(k) batched squarings + popcount(k) matvecs
+    # (5 matmul ops instead of 10 serialized matvec kernels for k = 10).
+    # Each intermediate is rescaled to unit Frobenius/L2 to prevent
+    # overflow; scaling never changes the returned direction.
+    v = v0
+    P = M
+    k = num_iters
+    while k > 0:
+        if k & 1:
+            v = _unit(P @ v)
+        k >>= 1
+        if k > 0:
+            P = P @ P
+            pnorm = jnp.sqrt(jnp.sum(P * P, axis=(-1, -2), keepdims=True) + 1e-30)
+            P = P / pnorm
     return v[..., 0]
 
 
