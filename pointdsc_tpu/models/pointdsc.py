@@ -232,12 +232,12 @@ class PointDSC(nn.Module):
             # weighting is robust to a ~5% neighbor recall loss
             _, knn_idx = jax.lax.approx_max_k(-seed_dist, k, recall_target=0.95)
         else:
-            # recall_target=1.0 is EXACT (same index set as lax.top_k,
-            # verified in tests) but lowers to the TPU PartialReduce op —
-            # ~1.9 ms/pair faster than lax.top_k's full sort at S=512/N=5120
-            _, knn_idx = jax.lax.approx_max_k(
-                -seed_dist, k, recall_target=1.0
-            )  # [B, S, k]
+            # hierarchical EXACT selection (ops/knn.py::exact_topk):
+            # identical index set to a full sort, ~3.5x cheaper than the
+            # flat exact reduction at S=512/N=5120
+            from pointdsc_tpu.ops.knn import exact_topk
+
+            knn_idx = exact_topk(-seed_dist, k)  # [B, S, k]
 
         # ONE wide gather for features+coords+mask instead of four narrow
         # ones: TPU gathers are row-DMA latency-bound, so 3-wide rows cost
