@@ -154,6 +154,26 @@ class PointCNLayer(nn.Module):
         return nn.relu(x)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree layout ({kernel, bias})
+    but no computation: lets sibling projections share one fused matmul
+    while checkpoints/importers keep seeing separate projection_q/k/v
+    Dense parameters."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.xavier_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class NonLocalBlock(nn.Module):
     """Spatial-consistency-modulated single-head attention block.
 
@@ -179,9 +199,19 @@ class NonLocalBlock(nn.Module):
         c, h = self.num_channels, self.num_heads
         cdt = self.compute_dtype
         xavier = nn.initializers.xavier_normal()
-        q = nn.Dense(c, kernel_init=xavier, dtype=cdt, name="projection_q")(feat)
-        k = nn.Dense(c, kernel_init=xavier, dtype=cdt, name="projection_k")(feat)
-        v = nn.Dense(c, kernel_init=xavier, dtype=cdt, name="projection_v")(feat)
+        # one fused [C, 3C] matmul instead of three [C, C] dispatches; the
+        # parameter tree is identical to three nn.Dense modules
+        cin = feat.shape[-1]
+        kq, bq = _DenseParams(cin, c, name="projection_q")()
+        kk, bk = _DenseParams(cin, c, name="projection_k")()
+        kv, bv = _DenseParams(cin, c, name="projection_v")()
+        w_qkv = jnp.concatenate([kq, kk, kv], axis=-1)
+        b_qkv = jnp.concatenate([bq, bk, bv], axis=-1)
+        x_in = feat
+        if cdt is not None:
+            x_in, w_qkv, b_qkv = x_in.astype(cdt), w_qkv.astype(cdt), b_qkv.astype(cdt)
+        qkv = x_in @ w_qkv + b_qkv
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
 
         if attention_fn is not None:
             # kernels normalize dtypes themselves (bf16 streams, f32 accum);
