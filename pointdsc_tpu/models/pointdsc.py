@@ -181,7 +181,8 @@ class PointDSC(nn.Module):
 
         # ---- Steps 3-4: per-seed NSM -> weighted Procrustes -> best hypothesis.
         seed_trans, seed_fitness, final_trans, final_labels = self._seed_transforms(
-            seeds, normed_features, src_keypts, tgt_keypts, sigma, mask
+            seeds, normed_features, src_keypts, tgt_keypts, sigma, mask,
+            fused=fused_attention,
         )
 
         # ---- Step 5: test-time post refinement.
@@ -206,7 +207,8 @@ class PointDSC(nn.Module):
         )
 
     # ------------------------------------------------------------------
-    def _seed_transforms(self, seeds, corr_features, src_keypts, tgt_keypts, sigma, mask):
+    def _seed_transforms(self, seeds, corr_features, src_keypts, tgt_keypts, sigma, mask,
+                         fused: bool = False):
         """Neural Spectral Matching + hypothesis selection
         (reference `cal_seed_trans`, PointDSC.py:234-336)."""
         bs, num_corr, _ = corr_features.shape
@@ -292,20 +294,40 @@ class PointDSC(nn.Module):
 
         # hypothesis scoring: count inliers of every seed transform over all
         # correspondences (PointDSC.py:325-335)
-        pred = jnp.einsum(
-            "bsij,bnj->bsni", seed_trans[:, :, :3, :3], src_keypts
-        ) + seed_trans[:, :, None, :3, 3]
-        L2_dis = jnp.linalg.norm(pred - tgt_keypts[:, None], axis=-1)  # [B, S, N]
-        inlier = (L2_dis < self.inlier_threshold) & mask[:, None, :]
         denom = jnp.maximum(jnp.sum(mask, axis=-1), 1)[:, None]
-        seed_fitness = jnp.sum(inlier, axis=-1) / denom  # [B, S]
-        seed_fitness = jnp.where(seed_valid, seed_fitness, -1.0)
+        if fused:
+            # tile-wise Pallas counting: nothing [S, N]-shaped in HBM; the
+            # best seed's per-point labels are recomputed for that one
+            # transform below
+            from pointdsc_tpu.kernels.scoring import seed_inlier_counts
 
-        best = jnp.argmax(seed_fitness, axis=-1)  # [B]
-        final_trans = jnp.take_along_axis(
-            seed_trans, best[:, None, None, None], axis=1
-        )[:, 0]
-        best_dis = jnp.take_along_axis(L2_dis, best[:, None, None], axis=1)[:, 0]
+            counts = jax.lax.stop_gradient(
+                seed_inlier_counts(
+                    jax.lax.stop_gradient(seed_trans), src_keypts, tgt_keypts,
+                    self.inlier_threshold, mask=mask,
+                )
+            )  # hypothesis selection is non-differentiable (argmax) anyway
+            seed_fitness = counts / denom
+            seed_fitness = jnp.where(seed_valid, seed_fitness, -1.0)
+            best = jnp.argmax(seed_fitness, axis=-1)  # [B]
+            final_trans = jnp.take_along_axis(
+                seed_trans, best[:, None, None, None], axis=1
+            )[:, 0]
+            warped = transform(src_keypts, final_trans)
+            best_dis = jnp.linalg.norm(warped - tgt_keypts, axis=-1)
+        else:
+            pred = jnp.einsum(
+                "bsij,bnj->bsni", seed_trans[:, :, :3, :3], src_keypts
+            ) + seed_trans[:, :, None, :3, 3]
+            L2_dis = jnp.linalg.norm(pred - tgt_keypts[:, None], axis=-1)  # [B, S, N]
+            inlier = (L2_dis < self.inlier_threshold) & mask[:, None, :]
+            seed_fitness = jnp.sum(inlier, axis=-1) / denom  # [B, S]
+            seed_fitness = jnp.where(seed_valid, seed_fitness, -1.0)
+            best = jnp.argmax(seed_fitness, axis=-1)  # [B]
+            final_trans = jnp.take_along_axis(
+                seed_trans, best[:, None, None, None], axis=1
+            )[:, 0]
+            best_dis = jnp.take_along_axis(L2_dis, best[:, None, None], axis=1)[:, 0]
         final_labels = ((best_dis < self.inlier_threshold) & mask).astype(jnp.float32)
         return seed_trans, seed_fitness, final_trans, final_labels
 

@@ -1,0 +1,66 @@
+"""Fused hypothesis-scoring kernel (kernels/scoring.py) vs the jnp
+reference counting, interpret mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointdsc_tpu.kernels.scoring import seed_inlier_counts
+from pointdsc_tpu.models.pointdsc import PointDSC
+
+
+def _ref_counts(trans, src, tgt, thr, mask):
+    pred = np.einsum("bsij,bnj->bsni", trans[:, :, :3, :3], src) + trans[
+        :, :, None, :3, 3
+    ]
+    d = np.linalg.norm(pred - tgt[:, None], axis=-1)
+    return ((d < thr) & mask[:, None, :]).sum(-1)
+
+
+class TestSeedInlierCounts:
+    def test_matches_reference_counts(self, rng):
+        B, S, N = 2, 48, 640
+        trans = np.tile(np.eye(4, dtype=np.float32), (B, S, 1, 1))
+        trans[..., :3, 3] = rng.normal(size=(B, S, 3)).astype(np.float32)
+        src = rng.normal(size=(B, N, 3)).astype(np.float32)
+        tgt = rng.normal(size=(B, N, 3)).astype(np.float32)
+        mask = rng.uniform(size=(B, N)) > 0.25
+        counts = np.asarray(
+            seed_inlier_counts(
+                jnp.asarray(trans), jnp.asarray(src), jnp.asarray(tgt),
+                0.8, jnp.asarray(mask), interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(
+            counts.astype(int), _ref_counts(trans, src, tgt, 0.8, mask)
+        )
+
+    def test_model_fused_selection_matches_dense(self, rng):
+        """Through the model: fused scoring must pick the same best seed and
+        produce the same labels as the dense einsum path."""
+        from pointdsc_tpu.data.synthetic import SyntheticPairDataset
+
+        model = PointDSC(
+            in_dim=6, num_layers=2, num_channels=32, k=12, ratio=0.2,
+            refine_iters=0,
+        )
+        ds = SyntheticPairDataset(num_pairs=1, num_corr=256, inlier_ratio=0.5,
+                                  seed=4)
+        s = ds[0]
+        args = tuple(jnp.asarray(s[k])[None] for k in
+                     ("corr_pos", "src_keypts", "tgt_keypts"))
+        variables = model.init(jax.random.key(0), *args)
+        dense = model.apply(variables, *args, testing=True,
+                            fused_attention=False)
+        fused = model.apply(variables, *args, testing=True,
+                            fused_attention=True)
+        # attention kernels differ at bf16 level; the scoring decision must
+        # agree on which transform wins and what it labels
+        np.testing.assert_allclose(
+            np.asarray(fused.seed_fitness), np.asarray(dense.seed_fitness),
+            atol=2e-2,
+        )
+        agree = (
+            np.asarray(fused.final_labels) == np.asarray(dense.final_labels)
+        ).mean()
+        assert agree > 0.97
