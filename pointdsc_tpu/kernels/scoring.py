@@ -131,11 +131,22 @@ def seed_inlier_counts(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    s_orig = seed_trans.shape[1]
+    # pad the seed axis to a tile-friendly multiple (identity transforms;
+    # their counts are sliced off) — S = ratio*N is not always 8/512-divisible
+    pad = (-s_orig) % 256
+    if pad:
+        eye = jnp.broadcast_to(
+            jnp.eye(4, dtype=seed_trans.dtype),
+            (seed_trans.shape[0], pad, 4, 4),
+        )
+        seed_trans = jnp.concatenate([seed_trans, eye], axis=1)
+
     def one(tr, s, t, m):
         pts = pack_scoring_points(s, t, m)
         return _scoring_single(
             pack_scoring_trans(tr), pts, thr, interpret=interpret
-        )
+        )[:s_orig]
 
     if mask is None:
         mask = jnp.ones(src_keypts.shape[:2], bool)

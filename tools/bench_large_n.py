@@ -53,11 +53,11 @@ def main():
             rt_.append(measure_rtt())
             c = jnp.zeros(4)
             t0 = time.perf_counter()
-            for _ in range(8):
+            for _ in range(24):
                 c = trivial(c)
             float(c[0])
             ts_.append(time.perf_counter() - t0)
-        return max(float(np.median(ts_)) - float(np.median(rt_)), 0.0) / 8
+        return max(float(np.median(ts_)) - float(np.median(rt_)), 0.0) / 24
 
     print(f"rtt {measure_rtt()*1000:.1f} ms", flush=True)
 
@@ -111,12 +111,12 @@ def main():
                     rts_.append(measure_rtt())
                     c = jnp.asarray(0.0)
                     t0 = time.perf_counter()
-                    for i in range(8):
+                    for i in range(24):
                         c = fwd(*batches[i % 4], c)
                     float(c)
                     ts.append(time.perf_counter() - t0)
                 per = max(
-                    (float(np.median(ts)) - float(np.median(rts_))) / 8
+                    (float(np.median(ts)) - float(np.median(rts_))) / 24
                     - overhead,
                     0.0,
                 )
