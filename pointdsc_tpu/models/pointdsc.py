@@ -156,11 +156,33 @@ class PointDSC(nn.Module):
         M = None if testing else feature_similarity(normed_features, sigma, mask=mask)
 
         # ---- Step 2: confidence MLP + seed selection.
-        x = corr_features
-        xavier = nn.initializers.xavier_normal()
-        x = nn.relu(nn.Dense(32, kernel_init=xavier, name="classification_0")(x))
-        x = nn.relu(nn.Dense(32, kernel_init=xavier, name="classification_1")(x))
-        confidence = nn.Dense(1, kernel_init=xavier, name="classification_2")(x)[..., 0]
+        # Parameters are declared through holders with nn.Dense's exact tree
+        # layout so the fused Pallas head (eval) and the plain jnp math
+        # (train / dense path) share the same checkpointable weights.
+        from pointdsc_tpu.models.blocks import _DenseParams
+
+        head = {}
+        cin = self.num_channels
+        for i, cout in enumerate((32, 32, 1)):
+            kernel, bias = _DenseParams(cin, cout, name=f"classification_{i}")()
+            head[i] = (kernel, bias)
+            cin = cout
+
+        if fused_attention and testing and self.num_channels == 128:
+            from pointdsc_tpu.kernels.conf_mlp import confidence_head
+
+            confidence = confidence_head(
+                corr_features,
+                {
+                    f"classification_{i}": {"kernel": head[i][0], "bias": head[i][1]}
+                    for i in range(3)
+                },
+            )
+        else:
+            x = corr_features
+            for i in range(2):
+                x = nn.relu(x @ head[i][0] + head[i][1])
+            confidence = (x @ head[2][0] + head[2][1])[..., 0]
 
         num_seeds = max(1, int(num_corr * self.ratio))
         if testing:
