@@ -12,9 +12,10 @@ with the tunnel RTT re-measured interleaved with every rep (it drifts by
 several ms over a run) and its median subtracted -- so variant selection
 is decided by device time, not tunnel noise. The headline number is the
 best EXACT variant (dense or fused attention; both use exact NSM
-neighborhoods via approx_max_k(recall_target=1.0), which is exact, and
-f32 activations). The approximate-knn variant (recall 0.95) and the
-bf16-activation-chain variant are reported alongside, never as headline.
+neighborhoods and f32 activations). The approximate-knn variant (recall
+0.95) is reported alongside, never as headline; further opt-in variants
+(bf16 activation chains) are documented in STATUS.md rather than
+measured here, to keep the run inside the driver's time budget.
 
 MFU: FLOPs come from XLA's own cost model (compiled.cost_analysis()) of the
 headline executable, divided by measured device time and the chip's bf16

@@ -35,12 +35,25 @@ def power_iteration(
         norm = jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True) + 1e-30)
         return v / (norm + eps)
 
-    # Per-step normalization only rescales — the direction after k steps is
-    # exactly M^k v0 — so the k sequential matvecs collapse to binary
-    # exponentiation: log2(k) batched squarings + popcount(k) matvecs
-    # (5 matmul ops instead of 10 serialized matvec kernels for k = 10).
-    # Each intermediate is rescaled to unit Frobenius/L2 to prevent
-    # overflow; scaling never changes the returned direction.
+    n = M.shape[-1]
+    if n > 128:
+        # Full-matrix callers (the classical SM baseline runs N up to 20k):
+        # a matvec is O(n^2) but a squaring is O(n^3), so the binary-
+        # exponentiation trick below would cost ~n/log(k) times MORE here.
+        # Keep the serialized matvecs.
+        def body(_, v):
+            return _unit(M @ v)
+
+        v = jax.lax.fori_loop(0, num_iters, body, v0)
+        return v[..., 0]
+
+    # Small matrices (the NSM's k x k neighborhoods): per-step normalization
+    # only rescales — the direction after k steps is exactly M^k v0 — so the
+    # k sequential matvecs collapse to binary exponentiation: log2(k)
+    # batched squarings + popcount(k) matvecs (5 matmul ops instead of 10
+    # serialized matvec kernels for k = 10). Each intermediate is rescaled
+    # to unit Frobenius/L2 to prevent overflow; scaling never changes the
+    # returned direction.
     v = v0
     P = M
     k = num_iters

@@ -64,3 +64,53 @@ class TestSeedInlierCounts:
             np.asarray(fused.final_labels) == np.asarray(dense.final_labels)
         ).mean()
         assert agree > 0.97
+
+
+class TestFusedConfidenceHead:
+    def test_kernel_matches_dense_math(self, rng):
+        from pointdsc_tpu.kernels.conf_mlp import confidence_head
+
+        feats = jnp.asarray(rng.normal(size=(2, 384, 128)).astype(np.float32))
+        params = {}
+        raw = {}
+        cin = 128
+        for i, cout in enumerate((32, 32, 1)):
+            k = (rng.normal(size=(cin, cout)) * 0.1).astype(np.float32)
+            b = (rng.normal(size=cout) * 0.1).astype(np.float32)
+            params[f"classification_{i}"] = {
+                "kernel": jnp.asarray(k), "bias": jnp.asarray(b)
+            }
+            raw[i] = (k, b)
+            cin = cout
+        out = np.asarray(confidence_head(feats, params, interpret=True))
+        x = np.asarray(feats)
+        for i in range(2):
+            x = np.maximum(x @ raw[i][0] + raw[i][1], 0.0)
+        ref = (x @ raw[2][0] + raw[2][1])[..., 0]
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_model_128ch_fused_uses_kernel(self, rng):
+        """A 128-channel model (the only config that takes the kernel path)
+        must produce the same confidences fused as dense."""
+        from pointdsc_tpu.data.synthetic import SyntheticPairDataset
+
+        model = PointDSC(
+            in_dim=6, num_layers=1, num_channels=128, k=12, ratio=0.2,
+            refine_iters=0,
+        )
+        ds = SyntheticPairDataset(num_pairs=1, num_corr=256, inlier_ratio=0.5,
+                                  seed=9)
+        s = ds[0]
+        args = tuple(jnp.asarray(s[k])[None] for k in
+                     ("corr_pos", "src_keypts", "tgt_keypts"))
+        variables = model.init(jax.random.key(1), *args)
+        dense = model.apply(variables, *args, testing=True,
+                            fused_attention=False)
+        fused = model.apply(variables, *args, testing=True,
+                            fused_attention=True)
+        # identical features would give identical logits; the bf16 attention
+        # kernel perturbs features slightly, so compare with a tolerance
+        np.testing.assert_allclose(
+            np.asarray(fused.confidence), np.asarray(dense.confidence),
+            atol=5e-2,
+        )

@@ -84,7 +84,7 @@ def main():
 
         # Methodology: at these sizes one lax.map program takes too long to
         # compile, and a single dispatch is smaller than the tunnel-RTT
-        # variance. Instead: 8 chained async dispatches (each depends on the
+        # variance. Instead: 24 chained async dispatches (each depends on the
         # previous through a scalar carry, so the device serializes them),
         # ONE host fetch at the end, interleaved RTT re-measurement, and the
         # separately calibrated per-dispatch chaining overhead subtracted.
