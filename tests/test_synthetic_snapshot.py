@@ -60,3 +60,49 @@ def test_snapshot_eval_recall(rng):
     stats, agg = evaluator.run_dataset(ds, verbose=False)
     assert agg["pair_recall"] >= 95.0, agg
     assert agg["output_f1"] > 0.6, agg
+
+
+@pytest.mark.slow
+def test_snapshot_eval_recall_fused_and_approx(rng):
+    """The TPU fast path (fused kernels, int8 compat cache, Pallas
+    refinement/scoring/confidence) and the approx-knn variant must not
+    cost recall on the trained model."""
+    from pointdsc_tpu.data import SyntheticPairDataset
+    from pointdsc_tpu.eval.runner import Evaluator
+    from pointdsc_tpu.models import PointDSC
+    from pointdsc_tpu.train.config import Config
+    from pointdsc_tpu.train.trainer import load_model_weights
+
+    cfg = Config.load(os.path.join(SNAP, "config.json"))
+    ds = SyntheticPairDataset(
+        num_pairs=12, num_corr=cfg.num_node, inlier_ratio=0.3, seed=777
+    )
+    ex = ds[0]
+    results = {}
+    for name, approx, fused in (
+        ("fused", False, True),
+        ("fused_approx", True, True),
+    ):
+        model = PointDSC(
+            in_dim=cfg.in_dim, num_layers=cfg.num_layers,
+            num_channels=cfg.num_channels, num_iterations=cfg.num_iterations,
+            ratio=cfg.ratio, sigma_d=cfg.sigma_d, k=cfg.k,
+            inlier_threshold=cfg.inlier_threshold,
+            nms_radius=cfg.inlier_threshold, approx_knn=approx,
+        )
+        variables = load_model_weights(
+            model, os.path.join(SNAP, "models", "model_best.pkl"),
+            (
+                jnp.asarray(ex["corr_pos"])[None],
+                jnp.asarray(ex["src_keypts"])[None],
+                jnp.asarray(ex["tgt_keypts"])[None],
+            ),
+        )
+        evaluator = Evaluator(
+            model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre,
+            fused_attention=fused,
+        )
+        stats, agg = evaluator.run_dataset(ds, verbose=False)
+        results[name] = agg
+        assert agg["pair_recall"] >= 95.0, (name, agg)
+        assert agg["output_f1"] > 0.6, (name, agg)
