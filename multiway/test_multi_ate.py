@@ -28,6 +28,9 @@ def main(argv=None):
     parser.add_argument("--descriptor", default="fpfh", type=str)
     parser.add_argument("--num_node", default=20000, type=int)
     parser.add_argument("--use_icp", default=False, type=str2bool)
+    parser.add_argument("--save_traj", default=False, type=str2bool,
+                        help="write the optimized fragment trajectory to "
+                             "logs/<scene>_traj.log (Redwood .log format)")
     parser.add_argument(
         "--scenes",
         default="livingroom1-simulated,livingroom2-simulated,"
@@ -134,6 +137,13 @@ def main(argv=None):
         ate = ate_rmse(graph.poses, dataset.gt_trajectory)
         print(f"Scene {scene}: ATE RMSE = {ate:.2f} cm "
               f"({len(graph.edges)} edges kept)")
+        if args.save_traj:
+            from pointdsc_tpu.eval.redwood_protocol import write_trajectory
+
+            os.makedirs("logs", exist_ok=True)
+            write_trajectory(
+                os.path.join("logs", f"{scene}_traj.log"), graph.poses
+            )
         ates.append(ate)
 
     print(f"Mean ATE over {len(ates)} scenes: {np.mean(ates):.2f} cm")

@@ -78,6 +78,20 @@ def read_trajectory(filename: str, dim: int = 4):
     return np.asarray(keys), np.asarray(mats)
 
 
+def write_trajectory(filename: str, poses, keys=None):
+    """Write a Redwood-format trajectory .log (inverse of read_trajectory;
+    reference: multiway/fileio.py::write_poses_to_log and
+    trajectory.py::write_trajectory). `poses` is a sequence of 4x4; `keys`
+    optional per-pose (i, j, n) header tuples, default (k, k, k+1)."""
+    n = len(poses)
+    with open(filename, "w") as f:
+        for k in range(n):
+            i, j, m = keys[k] if keys is not None else (k, k, k + 1)
+            f.write(f"{i}\t{j}\t{m}\n")
+            for row in np.asarray(poses[k], dtype=float).reshape(4, 4):
+                f.write("\t".join(f"{v:.12f}" for v in row) + "\n")
+
+
 def read_trajectory_info(filename: str, dim: int = 6):
     """Parse a .info file: header (i, j, n) + 6x6 covariance per block.
     Returns (num_fragments, cov [n, 6, 6])."""

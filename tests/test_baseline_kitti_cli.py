@@ -1,0 +1,47 @@
+"""baseline_scripts/baseline_KITTI.py end-to-end on a generated root."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_kitti_cli_integration import write_fake_kitti
+
+
+@pytest.mark.slow
+def test_baseline_kitti_ransac(tmp_path, rng, monkeypatch):
+    root = str(tmp_path / "kitti")
+    write_fake_kitti(root, rng, num_pairs=2, n_pts=300)
+    monkeypatch.chdir(tmp_path)
+
+    from baseline_scripts.baseline_KITTI import main
+
+    stats, agg = main(
+        [
+            "--method", "RANSAC", "--root", root, "--num_node", "256",
+            "--max_iteration", "512", "--save_npy", "false",
+        ]
+    )
+    assert stats.shape == (2, 12)
+    # fake pairs share descriptors -> near-perfect correspondences; RANSAC
+    # with the 0.6 m outdoor threshold must register them
+    assert agg["pair_recall"] == 100.0
+
+
+@pytest.mark.slow
+def test_baseline_kitti_sm(tmp_path, rng, monkeypatch):
+    root = str(tmp_path / "kitti")
+    write_fake_kitti(root, rng, num_pairs=2, n_pts=300)
+    monkeypatch.chdir(tmp_path)
+
+    from baseline_scripts.baseline_KITTI import main
+
+    stats, agg = main(
+        ["--method", "SM", "--root", root, "--num_node", "256",
+         "--save_npy", "false"]
+    )
+    assert stats.shape == (2, 12)
+    assert agg["pair_recall"] == 100.0
