@@ -80,7 +80,17 @@ def main():
                     jnp.asarray(s["tgt_keypts"])[None],
                 )
             )
-        variables = model.init(jax.random.key(0), *batches[0])
+        # init on a small pair: params are N-independent, and running the
+        # (dense) init forward at 24k materializes multiple [N, N] f32
+        # buffers -> OOM before the fused variant even starts
+        ds_small = SyntheticPairDataset(num_pairs=1, num_corr=1024, seed=0)
+        s0 = ds_small[0]
+        variables = model.init(
+            jax.random.key(0),
+            jnp.asarray(s0["corr_pos"])[None],
+            jnp.asarray(s0["src_keypts"])[None],
+            jnp.asarray(s0["tgt_keypts"])[None],
+        )
 
         # Methodology: at these sizes one lax.map program takes too long to
         # compile, and a single dispatch is smaller than the tunnel-RTT
