@@ -315,17 +315,23 @@ def _fused_sc_attention_cached_single(
 
 
 def fused_sc_attention_cached(
-    q, k, v, compat, src, tgt, mask=None, block_q=1024, block_k=1024,
+    q, k, v, compat, src, tgt, mask=None, block_q=1024, block_k=None,
     interpret=None, use_bf16=True,
 ):
     """Batched cached-compat fused attention.
 
     Args:
-        compat: [B, N, N] precomputed compatibility (bf16 recommended).
+        compat: [B, N, N] precomputed compatibility (int8 scale-127 or bf16).
         src/tgt/mask: only used to build the key-bias strip.
+        block_k: None = auto — 2048 when the row length divides (fewer
+            online-softmax passes: 23% faster at N=12288, 38% at N=20480
+            with the int8 cache), else 1024.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block_k is None:
+        n = q.shape[1]
+        block_k = 2048 if n % 2048 == 0 else 1024
     if mask is None:
         geom = jax.vmap(lambda s, t: pack_geometry(s, t, None))(src, tgt)
     else:
@@ -631,15 +637,15 @@ def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=None, block_k=Non
     if compat_cache is not None and not trainable:
         # the cached kernel is HBM-streaming-bound: bigger query tiles mean
         # fewer K/V re-reads and less online-softmax rescale work (tuned on
-        # v5e: 1024x1024 ~20% faster than 512x1024)
+        # v5e: 1024x1024 ~20% faster than 512x1024; block_k=None lets the
+        # wrapper pick 2048 when the row length divides)
         bq = 1024 if block_q is None else block_q
-        bk = 1024 if block_k is None else block_k
 
         def attention_fn(q, k, v, inner_mask):
             del inner_mask
             return fused_sc_attention_cached(
                 q, k, v, compat_cache, src, tgt, mask=mask,
-                block_q=bq, block_k=bk, interpret=interpret,
+                block_q=bq, block_k=block_k, interpret=interpret,
             )
 
         return attention_fn
