@@ -233,6 +233,59 @@ def fused_sc_attention(
 # ======================================================================
 
 
+def _compat_cache_kernel(sigma_ref, gq_ref, gk_ref, out_ref):
+    """Write the int8 (scale-127) compatibility cache tile directly from the
+    packed geometry strips — no f32 [N, N] intermediate ever exists."""
+    compat = _compat_tile(gq_ref[:], gk_ref[:], sigma_ref[0, 0])
+    out_ref[:] = jnp.round(compat * 127.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _build_compat_cache_single(geom, sigma_d, block_q=512, block_k=1024,
+                               interpret=False):
+    n = geom.shape[1]
+    bq, bk = min(block_q, n), min(block_k, n)
+    assert n % bq == 0 and n % bk == 0
+    sig = jnp.asarray(sigma_d, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        _compat_cache_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n // bq, n // bk),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((16, bq), lambda qi, kj: (0, qi)),
+                pl.BlockSpec((16, bk), lambda qi, kj: (0, kj)),
+            ],
+            out_specs=pl.BlockSpec((bq, bk), lambda qi, kj: (qi, kj)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
+        interpret=interpret,
+    )(sig, geom, geom)
+
+
+def build_compat_cache_int8(src, tgt, sigma_d, mask=None, interpret=None):
+    """int8 spatial-consistency cache for the cached attention kernel.
+
+    The jnp route (spatial_consistency -> round -> cast) runs several f32
+    [N, N] passes (~8 ms at N=20480); this kernel computes each tile in
+    VMEM from the [16, N] coordinate strip and writes only the int8 bytes.
+    Compatibility at masked entries is irrelevant downstream (the attention
+    kernel's key bias handles invalid keys), so no masking is applied.
+    Distances use the same gram-form math as the per-tile recompute
+    variant; the 1/255 quantization dominates its ~1e-4 cancellation.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if mask is None:
+        geom = jax.vmap(lambda s, t: pack_geometry(s, t, None))(src, tgt)
+    else:
+        geom = jax.vmap(pack_geometry)(src, tgt, mask)
+    return jax.vmap(
+        lambda g: _build_compat_cache_single(g, sigma_d, interpret=interpret)
+    )(geom)
+
+
 def _sc_attention_cached_kernel(
     q_ref,  # VMEM (TQ, C)
     k_ref,  # VMEM (TK, C)

@@ -97,13 +97,18 @@ class PointDSC(nn.Module):
                 # two padded K=3 MXU passes per tile per layer. Stored int8
                 # (values are clipped to [0, 1]; scale 127): attention is
                 # HBM-bound on this stream, so half of bf16's bytes is ~15%
-                # faster at a 1/255 quantization error the softmax cannot see
-                compat_cache = jax.lax.stop_gradient(
-                    spatial_consistency(
-                        src_keypts, tgt_keypts, self.sigma_d, mask=mask
-                    )
+                # faster at a 1/255 quantization error the softmax cannot
+                # see. Built tile-wise in VMEM (no f32 [N, N] intermediate).
+                from pointdsc_tpu.kernels.sc_attention import (
+                    build_compat_cache_int8,
                 )
-                compat_cache = jnp.round(compat_cache * 127.0).astype(jnp.int8)
+
+                compat_cache = build_compat_cache_int8(
+                    jax.lax.stop_gradient(src_keypts),
+                    jax.lax.stop_gradient(tgt_keypts),
+                    self.sigma_d,
+                    mask=mask,
+                )
             attention_fn = make_sc_attention_fn(
                 jax.lax.stop_gradient(src_keypts),
                 jax.lax.stop_gradient(tgt_keypts),
