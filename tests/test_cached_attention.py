@@ -45,3 +45,27 @@ def test_cached_model_forward_matches_dense(rng):
         np.asarray(out_cached.final_trans), np.asarray(out_dense.final_trans),
         atol=5e-3,
     )
+
+
+class TestCompatCacheBuilder:
+    def test_matches_jnp_quantization(self, rng):
+        from pointdsc_tpu.kernels.sc_attention import build_compat_cache_int8
+        from pointdsc_tpu.ops.compatibility import spatial_consistency
+
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 384, 3)).astype(np.float32))
+        tgt = src + jnp.asarray(
+            rng.normal(size=(1, 384, 3)).astype(np.float32) * 0.05
+        )
+        kern = np.asarray(
+            build_compat_cache_int8(src, tgt, 0.10, interpret=True)
+        ).astype(np.int32)
+        ref = np.asarray(
+            jnp.round(spatial_consistency(src, tgt, 0.10) * 127).astype(
+                jnp.int8
+            )
+        ).astype(np.int32)
+        # gram-form vs exact-difference distances: at most one quantization
+        # level apart, on a vanishing fraction of entries
+        diff = np.abs(kern - ref)
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
