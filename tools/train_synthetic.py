@@ -26,6 +26,11 @@ def main(argv=None):
         "--ratios", type=str, default="0.2,0.35,0.5",
         help="comma-separated inlier ratios mixed into training",
     )
+    parser.add_argument(
+        "--fused_attention", type=lambda v: v.lower() in ("true", "1"),
+        default=False,
+        help="train through the custom-VJP flash attention kernels",
+    )
     args = parser.parse_args(argv)
 
     from pointdsc_tpu.data import Loader, SyntheticPairDataset
@@ -55,6 +60,7 @@ def main(argv=None):
     cfg.save_dir = os.path.join(args.snapshot_dir, "models")
     cfg.tboard_dir = os.path.join(args.snapshot_dir, "tb")
     cfg.exp_id = args.exp_id
+    cfg.fused_attention = args.fused_attention
     set_seed(cfg.seed)
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.snapshot_dir, "config.json"))
