@@ -7,7 +7,8 @@ sweep), GCRANSAC (graph-cut RANSAC: spatially-coherent inlier labeling +
 local optimization, on device), LS (least-squares on gt inliers), PMC
 (native exact max-clique).
 Same 12-column stats protocol as the model evaluation, so methods are
-directly comparable.
+directly comparable. The evaluation loop is shared with the KITTI baseline
+CLI (baseline_scripts/_runner.py).
 
 Usage: python baseline_scripts/baseline_3DMatch.py --method SM --root ...
 """
@@ -18,7 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+from baseline_scripts._runner import run_baseline, str2bool
 
 
 def main(argv=None):
@@ -34,23 +35,11 @@ def main(argv=None):
     parser.add_argument("--max_iteration", default=4096, type=int)
     parser.add_argument("--re_thre", default=15.0, type=float)
     parser.add_argument("--te_thre", default=30.0, type=float)
-    parser.add_argument("--save_npy", default=False, type=lambda v: v in ("true", "1"))
+    parser.add_argument("--save_npy", default=False, type=str2bool)
     args = parser.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
-    from pointdsc_tpu.baselines import (
-        gc_ransac_registration,
-        least_squares_fit,
-        pmc_registration,
-        ransac_registration,
-        spectral_matching,
-    )
     from pointdsc_tpu.data.threedmatch import ThreeDMatchTest
-    from pointdsc_tpu.eval.protocol import aggregate_stats, format_scene_report, pair_stats
     from pointdsc_tpu.utils.seed import set_seed
-    from pointdsc_tpu.utils.timer import Timer
 
     set_seed(51)
     dataset = ThreeDMatchTest(
@@ -60,63 +49,10 @@ def main(argv=None):
         num_node=args.num_node,
         use_mutual=False,
     )
-
-    rows = []
-    timer = Timer()
-    key = jax.random.key(0)
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        src = jnp.asarray(sample["src_keypts"])[None]
-        tgt = jnp.asarray(sample["tgt_keypts"])[None]
-        timer.tic()
-        if args.method == "SM":
-            trans, labels = spectral_matching(src, tgt, args.inlier_threshold)
-        elif args.method == "RANSAC":
-            key, sub = jax.random.split(key)
-            trans, labels = ransac_registration(
-                src, tgt, sub, args.inlier_threshold,
-                num_hypotheses=args.max_iteration,
-            )
-        elif args.method == "GCRANSAC":
-            key, sub = jax.random.split(key)
-            trans, labels = gc_ransac_registration(
-                src, tgt, sub, args.inlier_threshold,
-                num_hypotheses=args.max_iteration,
-            )
-        elif args.method == "LS":
-            trans, labels = least_squares_fit(
-                src, tgt, jnp.asarray(sample["gt_labels"])[None]
-            )
-        else:  # PMC
-            trans_np, labels_np = pmc_registration(
-                sample["src_keypts"], sample["tgt_keypts"], args.inlier_threshold
-            )
-            trans, labels = jnp.asarray(trans_np)[None], jnp.asarray(labels_np)[None]
-        model_time = timer.toc(average=False, block_on=trans)
-
-        rows.append(
-            pair_stats(
-                np.asarray(trans)[0],
-                np.asarray(labels)[0],
-                sample["gt_trans"],
-                sample["gt_labels"],
-                args.re_thre,
-                args.te_thre,
-                model_time,
-                0.0,
-                dataset.scene_of(i),
-            )
-        )
-        if (i + 1) % 100 == 0:
-            print(f"[{i + 1}/{len(dataset)}]")
-
-    stats = np.stack(rows)
-    agg = aggregate_stats(stats, dataset.scene_list)
-    print(format_scene_report(agg))
-    if args.save_npy:
-        os.makedirs("logs", exist_ok=True)
-        np.save(f"logs/baseline-{args.method}-{args.descriptor}.npy", stats)
-    return stats, agg
+    return run_baseline(
+        dataset, dataset.scene_list, dataset.scene_of, args,
+        sm_top_ratio=0.1,  # reference baseline_3DMatch.py SM default
+    )
 
 
 if __name__ == "__main__":

@@ -3,9 +3,10 @@
 /root/reference/baseline_scripts/baseline_KITTI.py).
 
 Same methods as the 3DMatch baseline CLI (SM / RANSAC / GCRANSAC / LS /
-PMC), evaluated with the outdoor thresholds the reference uses
-(inlier tau = 0.6 m, success = RE < 5 deg and TE < 60 cm,
-baseline_KITTI.py:26-27). Output is the shared 12-column stats protocol.
+PMC), with the reference's outdoor protocol: inlier tau = 0.6 m, success =
+RE < 5 deg and TE < 60 cm, num_node = 15000 correspondences
+(baseline_KITTI.py:26-27,103) and the KITTI-specific SM top_ratio = 0.05
+(baseline_KITTI.py:50). Output is the shared 12-column stats protocol.
 
 Usage: python baseline_scripts/baseline_KITTI.py --method RANSAC --root ...
 """
@@ -16,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+from baseline_scripts._runner import run_baseline, str2bool
 
 
 def main(argv=None):
@@ -28,28 +29,16 @@ def main(argv=None):
     parser.add_argument("--root", default="/data/KITTI", type=str)
     parser.add_argument("--descriptor", default="fcgf", choices=["fcgf", "fpfh"])
     parser.add_argument("--split", default="test", type=str)
-    parser.add_argument("--num_node", default=5000, type=int)
+    parser.add_argument("--num_node", default=15000, type=int)
     parser.add_argument("--inlier_threshold", default=0.60, type=float)
     parser.add_argument("--max_iteration", default=4096, type=int)
     parser.add_argument("--re_thre", default=5.0, type=float)
     parser.add_argument("--te_thre", default=60.0, type=float)
-    parser.add_argument("--save_npy", default=False, type=lambda v: v in ("true", "1"))
+    parser.add_argument("--save_npy", default=False, type=str2bool)
     args = parser.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
-    from pointdsc_tpu.baselines import (
-        gc_ransac_registration,
-        least_squares_fit,
-        pmc_registration,
-        ransac_registration,
-        spectral_matching,
-    )
     from pointdsc_tpu.data.kitti import KITTIDataset
-    from pointdsc_tpu.eval.protocol import aggregate_stats, format_scene_report, pair_stats
     from pointdsc_tpu.utils.seed import set_seed
-    from pointdsc_tpu.utils.timer import Timer
 
     set_seed(51)
     dataset = KITTIDataset(
@@ -63,63 +52,11 @@ def main(argv=None):
         augment_rotation=0.0,
         augment_translation=0.0,
     )
-
-    rows = []
-    timer = Timer()
-    key = jax.random.key(0)
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        src = jnp.asarray(sample["src_keypts"])[None]
-        tgt = jnp.asarray(sample["tgt_keypts"])[None]
-        timer.tic()
-        if args.method == "SM":
-            trans, labels = spectral_matching(src, tgt, args.inlier_threshold)
-        elif args.method == "RANSAC":
-            key, sub = jax.random.split(key)
-            trans, labels = ransac_registration(
-                src, tgt, sub, args.inlier_threshold,
-                num_hypotheses=args.max_iteration,
-            )
-        elif args.method == "GCRANSAC":
-            key, sub = jax.random.split(key)
-            trans, labels = gc_ransac_registration(
-                src, tgt, sub, args.inlier_threshold,
-                num_hypotheses=args.max_iteration,
-            )
-        elif args.method == "LS":
-            trans, labels = least_squares_fit(
-                src, tgt, jnp.asarray(sample["gt_labels"])[None]
-            )
-        else:  # PMC
-            trans_np, labels_np = pmc_registration(
-                sample["src_keypts"], sample["tgt_keypts"], args.inlier_threshold
-            )
-            trans, labels = jnp.asarray(trans_np)[None], jnp.asarray(labels_np)[None]
-        model_time = timer.toc(average=False, block_on=trans)
-
-        rows.append(
-            pair_stats(
-                np.asarray(trans)[0],
-                np.asarray(labels)[0],
-                sample["gt_trans"],
-                sample["gt_labels"],
-                args.re_thre,
-                args.te_thre,
-                model_time,
-                0.0,
-                0,  # KITTI has a single scene group
-            )
-        )
-        if (i + 1) % 100 == 0:
-            print(f"[{i + 1}/{len(dataset)}]")
-
-    stats = np.stack(rows)
-    agg = aggregate_stats(stats, ["KITTI"])
-    print(format_scene_report(agg))
-    if args.save_npy:
-        os.makedirs("logs", exist_ok=True)
-        np.save(f"logs/baseline-kitti-{args.method}-{args.descriptor}.npy", stats)
-    return stats, agg
+    return run_baseline(
+        dataset, ["KITTI"], lambda i: 0, args,
+        sm_top_ratio=0.05,  # reference baseline_KITTI.py:50
+        save_tag="-kitti",
+    )
 
 
 if __name__ == "__main__":

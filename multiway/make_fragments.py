@@ -35,26 +35,34 @@ def main(argv=None):
     parser.add_argument("--path_dataset", default=None)
     parser.add_argument("--out_dir", default=None,
                         help="default: <path_dataset>/fragments")
-    parser.add_argument("--n_frames_per_fragment", default=100, type=int)
-    parser.add_argument("--voxel_size", default=0.008, type=float,
-                        help="TSDF voxel size (m); the reference derives it "
-                             "as tsdf_cubic_size / 512")
+    parser.add_argument("--n_frames_per_fragment", default=None, type=int,
+                        help="default 100; an explicit flag wins over the "
+                             "config JSON")
+    parser.add_argument("--voxel_size", default=None, type=float,
+                        help="TSDF voxel size (m), default 0.008; the "
+                             "reference derives it as tsdf_cubic_size / 512. "
+                             "An explicit flag wins over the config JSON")
     parser.add_argument("--fpfh_voxel", default=0.05, type=float)
     parser.add_argument("--path_intrinsic", default=None,
                         help="JSON with width/height/fx/fy/cx/cy "
                              "(default: PrimeSense)")
     args = parser.parse_args(argv)
 
+    # precedence: explicit CLI flag > config JSON > built-in default
+    # (None defaults make "flag was passed" detectable)
     if args.config:
         with open(args.config) as f:
             cfg = json.load(f)
         args.path_dataset = args.path_dataset or cfg.get("path_dataset")
-        args.n_frames_per_fragment = cfg.get(
-            "n_frames_per_fragment", args.n_frames_per_fragment
-        )
-        if "tsdf_cubic_size" in cfg:
+        if args.n_frames_per_fragment is None:
+            args.n_frames_per_fragment = cfg.get("n_frames_per_fragment")
+        if args.voxel_size is None and "tsdf_cubic_size" in cfg:
             args.voxel_size = float(cfg["tsdf_cubic_size"]) / 512.0
         args.path_intrinsic = args.path_intrinsic or cfg.get("path_intrinsic")
+    if args.n_frames_per_fragment is None:
+        args.n_frames_per_fragment = 100
+    if args.voxel_size is None:
+        args.voxel_size = 0.008
     if not args.path_dataset:
         parser.error("need --path_dataset or a config with path_dataset")
 

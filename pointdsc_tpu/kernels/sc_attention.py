@@ -383,8 +383,12 @@ def fused_sc_attention_cached(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_k is None:
+        # the 2048 key tile only fits VMEM (with double buffering) for
+        # 1-byte caches; bf16/f32 caches keep the 1024 tile
         n = q.shape[1]
-        block_k = 2048 if n % 2048 == 0 else 1024
+        block_k = (
+            2048 if n % 2048 == 0 and compat.dtype.itemsize == 1 else 1024
+        )
     if mask is None:
         geom = jax.vmap(lambda s, t: pack_geometry(s, t, None))(src, tgt)
     else:

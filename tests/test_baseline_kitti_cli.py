@@ -45,3 +45,28 @@ def test_baseline_kitti_sm(tmp_path, rng, monkeypatch):
     )
     assert stats.shape == (2, 12)
     assert agg["pair_recall"] == 100.0
+
+
+@pytest.mark.slow
+def test_baseline_3dmatch_ransac_shared_runner(tmp_path, rng, monkeypatch):
+    """The 3DMatch baseline CLI through the shared runner on a fake root."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from tests.test_eval_cli_integration import write_fake_root
+
+    root = str(tmp_path / "threedmatch")
+    write_fake_root(root, rng, num_frag=3, n_pts=300)
+    monkeypatch.chdir(tmp_path)
+
+    from baseline_scripts.baseline_3DMatch import main
+
+    # the fake root's raw NN matches run ~13% inliers, so RANSAC needs its
+    # full hypothesis budget for a reliable all-inlier draw
+    stats, agg = main(
+        ["--method", "RANSAC", "--root", root, "--num_node", "256",
+         "--max_iteration", "4096", "--save_npy", "True"]
+    )
+    assert stats.shape[1] == 12
+    assert agg["pair_recall"] >= 2 / 3 * 100 - 1e-6
+    # the capitalized --save_npy True must work (case-insensitive str2bool)
+    assert os.path.exists(tmp_path / "logs" / "baseline-RANSAC-fcgf.npy")
