@@ -48,12 +48,27 @@ def icp_point_to_point(
 
     max_d2 = max_correspondence_distance**2
 
+    # on TPU at large sizes the NN search streams base tiles through VMEM
+    # (kernels/nn_search.py) instead of materializing the [N, M] distance
+    # matrix (1.6 GB per iteration at Redwood sizes; measured >2 ms/pass
+    # saved at 20480^2). Below ~8k^2 XLA's fused matmul+argmin is already
+    # faster than the kernel's per-iteration launches.
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and src_pts.shape[0] * tgt_pts.shape[0] >= 64_000_000
+    )
+
     def step(trans, _):
         warped = transform(src_pts[None], trans[None])[0]  # [N, 3]
-        d2 = pairwise_sq_dists(warped, tgt_pts)  # [N, M]
-        d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
-        nn_idx = jnp.argmin(d2, axis=-1)
-        nn_d2 = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
+        if use_kernel:
+            from pointdsc_tpu.kernels.nn_search import nearest_neighbors
+
+            nn_d2, nn_idx = nearest_neighbors(warped, tgt_pts, tgt_mask)
+        else:
+            d2 = pairwise_sq_dists(warped, tgt_pts)  # [N, M]
+            d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
+            nn_idx = jnp.argmin(d2, axis=-1)
+            nn_d2 = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
         matched = (nn_d2 < max_d2) & src_mask
         w = matched.astype(src_pts.dtype)
         new_trans = weighted_procrustes(
@@ -101,10 +116,18 @@ def information_matrix(
         tgt_mask = jnp.ones((tgt_pts.shape[0],), bool)
 
     warped = transform(src_pts[None], trans[None])[0]
-    d2 = pairwise_sq_dists(warped, tgt_pts)
-    d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
-    nn_idx = jnp.argmin(d2, axis=-1)
-    nn_d2 = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
+    if (
+        jax.default_backend() == "tpu"
+        and src_pts.shape[0] * tgt_pts.shape[0] >= 64_000_000
+    ):
+        from pointdsc_tpu.kernels.nn_search import nearest_neighbors
+
+        nn_d2, nn_idx = nearest_neighbors(warped, tgt_pts, tgt_mask)
+    else:
+        d2 = pairwise_sq_dists(warped, tgt_pts)
+        d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
+        nn_idx = jnp.argmin(d2, axis=-1)
+        nn_d2 = jnp.take_along_axis(d2, nn_idx[:, None], axis=-1)[:, 0]
     matched = (nn_d2 < max_correspondence_distance**2) & src_mask
     w = matched.astype(src_pts.dtype)
 
