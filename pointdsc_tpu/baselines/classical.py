@@ -125,6 +125,51 @@ def least_squares_fit(
     return T, gt_labels
 
 
+_take_nbr = jax.vmap(lambda vec, nb: vec[nb])  # [B,N] x [B,N,k] -> [B,N,k]
+
+
+def coherence_icm(r2, nbr, nbr_valid, mask, lam, icm_sweeps=10):
+    """ICM minimization of the Barath & Matas coherence energy for fixed
+    normalized squared residuals r2 = d^2/tau^2 ([B, N]).
+
+        E(L) = sum_i [ L_i * min(r2_i, 1) + (1 - L_i) * max(1 - r2_i, 0) ]
+             + (lam/2) * sum_i sum_{j in kNN(i)} [L_i != L_j]
+
+    Parallel (Jacobi) label sweeps from the thresholded init; returns
+    (energy [B], labels [B, N] bool). Exposed at module level so the
+    ICM-vs-exact-minimum approximation is quantified against exhaustive
+    enumeration on small instances (tests/test_baselines.py, lam=0.1,
+    N=14): with bimodal residuals (the regime RANSAC hypotheses produce)
+    ICM attained the exact minimum labeling on 100/100 instances; with
+    adversarial residuals uniformly straddling the threshold it matched on
+    83/100 and stayed within 8% of the optimal energy on the rest.
+    """
+    c_in = jnp.minimum(r2, 1.0)  # cost of labeling inlier (1 - K)
+    c_out = jnp.maximum(1.0 - r2, 0.0)  # cost of labeling outlier (K)
+    L = (r2 < 1.0) & mask  # init: plain thresholding
+
+    def sweep(L, _):
+        Lf = L.astype(jnp.float32)
+        nbr_L = _take_nbr(Lf, nbr)
+        nv = nbr_valid.astype(jnp.float32)
+        agree_in = jnp.sum((1.0 - nbr_L) * nv, axis=-1)  # disagreements if inlier
+        agree_out = jnp.sum(nbr_L * nv, axis=-1)
+        cost1 = c_in + lam * agree_in
+        cost0 = c_out + lam * agree_out
+        return (cost1 < cost0) & mask, None
+
+    L, _ = jax.lax.scan(sweep, L, None, length=icm_sweeps)
+    Lf = L.astype(jnp.float32)
+    nbr_L = _take_nbr(Lf, nbr)
+    pair_E = lam * jnp.sum(
+        jnp.abs(Lf[..., None] - nbr_L) * nbr_valid, axis=(-1, -2)
+    ) * 0.5
+    unary_E = jnp.sum(
+        jnp.where(mask, Lf * c_in + (1.0 - Lf) * c_out, 0.0), axis=-1
+    )
+    return unary_E + pair_E, L
+
+
 @partial(jax.jit, static_argnames=(
     "num_hypotheses", "lo_iters", "icm_sweeps", "knn_k"
 ))
@@ -157,9 +202,14 @@ def gc_ransac_registration(
     over the k-NN graph of the source keypoints, followed by a weighted
     re-fit on the labeling; repeated `lo_iters` times, keeping the best
     energy. The binary submodular cut is solved by parallel ICM sweeps
-    (Jacobi label updates) instead of an s-t mincut — a device-friendly
-    local minimizer of the same energy; with the reference's small
-    lambda=0.1 the unaries dominate and the labelings agree.
+    (Jacobi label updates, `coherence_icm`) instead of an s-t mincut — a
+    device-friendly local minimizer of the same energy. Measured against
+    exhaustive minimization on small random instances at the reference's
+    lambda=0.1 (tests/test_baselines.py::TestCoherenceICMvsExact): exact
+    minimum on 100/100 bimodal-residual instances (the regime RANSAC
+    hypotheses produce), 83/100 with residuals adversarially straddling
+    the threshold (energy within 8% of optimal on the rest); it is not an
+    exact graph cut.
 
     If pygcransac ever lands in the environment,
     `gc_ransac_registration_pygc` wraps it with the same signature.
@@ -191,33 +241,9 @@ def gc_ransac_registration(
     trans0 = jnp.take_along_axis(hyp, best[:, None, None, None], axis=1)[:, 0]
 
     def energy_and_labels(trans):
-        """ICM minimization of the coherence energy for a fixed model."""
         warped = transform(src_keypts, trans)
         r2 = jnp.sum((warped - tgt_keypts) ** 2, axis=-1) / tau2
-        c_in = jnp.minimum(r2, 1.0)  # cost of labeling inlier (1 - K)
-        c_out = jnp.maximum(1.0 - r2, 0.0)  # cost of labeling outlier (K)
-        L = (r2 < 1.0) & mask  # init: plain thresholding
-
-        def sweep(L, _):
-            Lf = L.astype(jnp.float32)
-            nbr_L = take_nbr(Lf, nbr)
-            nv = nbr_valid.astype(jnp.float32)
-            agree_in = jnp.sum((1.0 - nbr_L) * nv, axis=-1)  # disagreements if inlier
-            agree_out = jnp.sum(nbr_L * nv, axis=-1)
-            cost1 = c_in + lam * agree_in
-            cost0 = c_out + lam * agree_out
-            return (cost1 < cost0) & mask, None
-
-        L, _ = jax.lax.scan(sweep, L, None, length=icm_sweeps)
-        Lf = L.astype(jnp.float32)
-        nbr_L = take_nbr(Lf, nbr)
-        pair_E = lam * jnp.sum(
-            jnp.abs(Lf[..., None] - nbr_L) * nbr_valid, axis=(-1, -2)
-        ) * 0.5
-        unary_E = jnp.sum(
-            jnp.where(mask, Lf * c_in + (1.0 - Lf) * c_out, 0.0), axis=-1
-        )
-        return unary_E + pair_E, L
+        return coherence_icm(r2, nbr, nbr_valid, mask, lam, icm_sweeps)
 
     def lo_step(carry, _):
         trans, best_E, best_trans, best_L = carry

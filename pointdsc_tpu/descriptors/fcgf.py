@@ -128,6 +128,9 @@ def extract_features(
     return keypts.astype(np.float32), feats
 
 
+# keyed on the (hashable, frozen-dataclass) flax Module itself: two calls
+# with equal module configs share one compiled apply, and the cache cannot
+# alias a new module that reuses a dead module's id()
 _tiled_apply_cache: dict = {}
 
 
@@ -179,10 +182,10 @@ def extract_features_tiled(
     # one jitted batched apply, padded to a fixed tile_batch; cached per
     # model so repeated calls (batch descriptor prep loops over thousands
     # of clouds) compile the U-Net once, not once per cloud
-    apply = _tiled_apply_cache.get(id(model))
+    apply = _tiled_apply_cache.get(model)
     if apply is None:
         apply = jax.jit(partial(model.apply, train=False))
-        _tiled_apply_cache[id(model)] = apply
+        _tiled_apply_cache[model] = apply
 
     all_k, all_f = [], []
     for lo in range(0, len(tiles), tile_batch):

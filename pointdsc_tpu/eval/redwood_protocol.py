@@ -84,12 +84,14 @@ def write_trajectory(filename: str, poses, keys=None):
     trajectory.py::write_trajectory). `poses` is a sequence of 4x4; `keys`
     optional per-pose (i, j, n) header tuples, default (k, k, k+1)."""
     n = len(poses)
+    # space-separated, matching the reference writers exactly (strict external
+    # Redwood tooling splits on single spaces; tabs would break it)
     with open(filename, "w") as f:
         for k in range(n):
             i, j, m = keys[k] if keys is not None else (k, k, k + 1)
-            f.write(f"{i}\t{j}\t{m}\n")
+            f.write(f"{i} {j} {m}\n")
             for row in np.asarray(poses[k], dtype=float).reshape(4, 4):
-                f.write("\t".join(f"{v:.12f}" for v in row) + "\n")
+                f.write(" ".join(f"{v:.12f}" for v in row) + "\n")
 
 
 def read_trajectory_info(filename: str, dim: int = 6):

@@ -152,10 +152,12 @@ class Evaluator:
         n_dev = mesh.devices.size
 
         rows = [None] * len(dataset)
+        warmed: set[int] = set()
         # pairs grouped by shape bucket so each stacked batch shares a compile
-        pending: dict[int, list[tuple[int, dict]]] = {}
+        pending: dict[int, list[tuple[int, dict, float]]] = {}
 
         def flush(bucket, items):
+            n_real = len(items)
             while len(items) < n_dev:  # pad the batch with a repeat
                 items.append(items[-1])
             batch = {
@@ -163,17 +165,30 @@ class Evaluator:
                 for key in ("corr_pos", "src_keypts", "tgt_keypts", "mask")
             }
             batch = shard_batch(batch, mesh)
-            t = Timer()
-            t.tic()
-            trans, labels = self._forward_batch(
+            args = (
                 jnp.asarray(batch["corr_pos"]),
                 jnp.asarray(batch["src_keypts"]),
                 jnp.asarray(batch["tgt_keypts"]),
                 jnp.asarray(batch["mask"]),
             )
+            # discarded warmup per shape bucket: col 9 is per-pair model
+            # time and must not include XLA compilation (mirrors run_pair;
+            # separate set — the batched executable is distinct from
+            # run_pair's bs=1 one)
+            if bucket not in warmed:
+                np.asarray(self._forward_batch(*args)[0])
+                warmed.add(bucket)
+            t = Timer()
+            t.tic()
+            trans, labels = self._forward_batch(*args)
             trans, labels = np.asarray(trans), np.asarray(labels)
-            model_time = t.toc(average=False) / len(items)
-            for slot, (idx, padded) in enumerate(items[:n_dev]):
+            # col 9 semantics (reference test_3DMatch.py:99-100): per-pair
+            # model time. A sharded dispatch evaluates n_real pairs at once,
+            # so each pair's share is wall/n_real (padding repeats of a
+            # partial final batch are waste charged to the real pairs, not
+            # amortized away)
+            model_time = t.toc(average=False) / n_real
+            for slot, (idx, padded, data_time) in enumerate(items[:n_dev]):
                 if rows[idx] is not None:
                     continue
                 n = int(padded["mask"].sum())
@@ -185,14 +200,17 @@ class Evaluator:
                     self.re_thre,
                     self.te_thre,
                     model_time,
-                    0.0,
+                    data_time,
                     scene_of(idx) if scene_of else 0,
                 )
 
+        data_timer = Timer()
         for i in range(len(dataset)):
+            data_timer.tic()
             sample = pad_to_bucket(dataset[i])
+            data_time = data_timer.toc(average=False)
             bucket = sample["corr_pos"].shape[0]
-            pending.setdefault(bucket, []).append((i, sample))
+            pending.setdefault(bucket, []).append((i, sample, data_time))
             if len(pending[bucket]) == n_dev:
                 flush(bucket, pending.pop(bucket))
         for bucket, items in pending.items():

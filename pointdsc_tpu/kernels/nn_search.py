@@ -103,8 +103,17 @@ def nearest_neighbors(query, base, base_mask=None, interpret=None):
     """For each query point: (squared distance, index) of its nearest base
     point. query [N, 3], base [M, 3], base_mask [M] bool (masked base
     points never selected). Exact — matches argmin over the full distance
-    matrix.
+    matrix — for base clouds up to 2^24 points (the running argmin is
+    carried in f32 inside the kernel, which represents integers exactly
+    only below 2^24; larger clouds are rejected rather than silently
+    returning a rounded neighbor index).
     """
+    if base.shape[0] >= 1 << 24:
+        raise ValueError(
+            f"nearest_neighbors: base cloud has {base.shape[0]} points; the "
+            "kernel's f32 index carry is exact only below 2^24. Split the "
+            "base cloud or use a jnp argmin fallback."
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     qs = pack_points(query)

@@ -262,8 +262,9 @@ class PointDSC(nn.Module):
             _, knn_idx = jax.lax.approx_max_k(-seed_dist, k, recall_target=0.95)
         else:
             # hierarchical EXACT selection (ops/knn.py::exact_topk):
-            # identical index set to a full sort, ~3.5x cheaper than the
-            # flat exact reduction at S=512/N=5120
+            # value-equivalent to a full sort (index set identical except
+            # under exact distance ties), ~3.5x cheaper than the flat
+            # exact reduction at S=512/N=5120
             from pointdsc_tpu.ops.knn import exact_topk
 
             knn_idx = exact_topk(-seed_dist, k)  # [B, S, k]

@@ -59,8 +59,12 @@ def exact_topk(scores: jnp.ndarray, k: int, chunks: int = 16) -> jnp.ndarray:
     row. A hierarchical exact selection is ~3.5x faster: exact top-k of
     each of `chunks` row segments, then exact top-k of the union of chunk
     winners. The global top-k is a subset of the union of per-chunk top-ks,
-    so the result is identical to a full sort (verified against
-    numpy/`lax.top_k` in tests).
+    so the selected VALUES always match a full sort (verified against
+    numpy/`lax.top_k` in tests). Under exact score ties at the k-th value
+    (e.g. duplicated correspondences), the chunked selection may return a
+    different — value-equivalent — subset of the tied indices than
+    `lax.top_k`; callers needing bit-identical tie-breaking should break
+    ties by index before calling.
 
     Falls back to the flat reduction when rows are short or not evenly
     chunkable. Returned indices are in descending-score order.
