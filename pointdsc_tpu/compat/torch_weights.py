@@ -90,6 +90,73 @@ def from_torch_state_dict(sd: dict, num_layers: int, dtype=np.float32) -> dict:
     return {"params": params, "batch_stats": {"encoder": enc_s}}
 
 
+def from_torch_oanet_state_dict(sd: dict, num_layers: int, dtype=np.float32) -> dict:
+    """Map a reference OANet state dict (/root/reference/models/OANet.py:89-145)
+    onto the pointdsc_tpu OANet flax tree.
+
+    Torch Sequential index layout ('post' act order):
+      l1_1: [Conv1d(in,C)] + per layer [Conv1d, ContextNorm, BatchNorm1d, ReLU]
+            -> convs at 0, 1+4j; BNs at 3+4j     (num_layers//2 layers)
+      l1_2: same with Conv1d(2C,C) input and num_layers//2 - 1 layers
+      down1/up1: conv = Sequential(InstanceNorm, BN, ReLU, Conv1d)
+            -> BN at .conv.1, Conv at .conv.3
+      l2.{i} (OAFilter): conv1 = [IN, BN, ReLU, Conv, Transpose] -> BN 1, Conv 3
+                         conv2 = [BN, ReLU, Conv]                -> BN 0, Conv 2
+                         conv3 = [Transpose, IN, BN, ReLU, Conv] -> BN 2, Conv 4
+      output: Conv1d(C, 1)
+    """
+    sd = {k: np.asarray(v, dtype) for k, v in sd.items()}
+
+    def dense(prefix):
+        return {"kernel": _conv1d(sd[f"{prefix}.weight"]),
+                "bias": _vec(sd[f"{prefix}.bias"])}
+
+    def bn_params(prefix):
+        return {"scale": _vec(sd[f"{prefix}.weight"]),
+                "bias": _vec(sd[f"{prefix}.bias"])}
+
+    def bn_stats(prefix):
+        return {"mean": _vec(sd[f"{prefix}.running_mean"]),
+                "var": _vec(sd[f"{prefix}.running_var"])}
+
+    def stack(prefix, n_inner):
+        p = {"Dense_0": dense(f"{prefix}.0")}
+        s = {}
+        for j in range(n_inner):
+            p[f"Dense_{j + 1}"] = dense(f"{prefix}.{1 + 4 * j}")
+            p[f"MaskedBatchNorm_{j}"] = bn_params(f"{prefix}.{3 + 4 * j}")
+            s[f"MaskedBatchNorm_{j}"] = bn_stats(f"{prefix}.{3 + 4 * j}")
+        return p, s
+
+    half = num_layers // 2
+    params: dict = {}
+    stats: dict = {}
+    params["l1_1"], stats["l1_1"] = stack("l1_1", half)
+    params["l1_2"], stats["l1_2"] = stack("l1_2", half - 1)
+    for name in ("down1", "up1"):
+        params[name] = {
+            "Dense_0": dense(f"{name}.conv.3"),
+            "MaskedBatchNorm_0": bn_params(f"{name}.conv.1"),
+        }
+        stats[name] = {"MaskedBatchNorm_0": bn_stats(f"{name}.conv.1")}
+    for i in range(half):
+        params[f"oa_{i}"] = {
+            "Dense_0": dense(f"l2.{i}.conv1.3"),
+            "MaskedBatchNorm_0": bn_params(f"l2.{i}.conv1.1"),
+            "Dense_1": dense(f"l2.{i}.conv2.2"),
+            "MaskedBatchNorm_1": bn_params(f"l2.{i}.conv2.0"),
+            "Dense_2": dense(f"l2.{i}.conv3.4"),
+            "MaskedBatchNorm_2": bn_params(f"l2.{i}.conv3.2"),
+        }
+        stats[f"oa_{i}"] = {
+            "MaskedBatchNorm_0": bn_stats(f"l2.{i}.conv1.1"),
+            "MaskedBatchNorm_1": bn_stats(f"l2.{i}.conv2.0"),
+            "MaskedBatchNorm_2": bn_stats(f"l2.{i}.conv3.2"),
+        }
+    params["output"] = dense("output")
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str, num_layers: int) -> dict:
     """Load a reference ``model_best.pkl`` (torch pickle) from disk.
 

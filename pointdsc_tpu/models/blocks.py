@@ -116,13 +116,23 @@ def jax_take_neighbors(x, idx):
 
 
 class ContextNorm(nn.Module):
-    """Per-set (instance) normalization over the correspondence axis
-    (/root/reference/models/common.py:106-115). Parameter-free."""
+    """Per-set (instance) normalization over the correspondence axis.
+    Parameter-free.
+
+    Two reference variance conventions exist: ``ContextNormalization``
+    (/root/reference/models/common.py:106-115) uses ``torch.var`` which is
+    UNBIASED (N-1 denominator), while the ``InstanceNorm1d(eps=1e-3)``
+    layers inside the OANet pool/filter blocks (OANet.py:12,28,60,74) are
+    biased (N denominator). `unbiased` selects between them; parity tests
+    cover both.
+    """
 
     epsilon: float = 1e-3
+    unbiased: bool = False
 
     def __call__(self, x, mask=None):
         if mask is None:
+            count = jnp.asarray(x.shape[-2], x.dtype)
             mean = jnp.mean(x, axis=-2, keepdims=True)
             var = jnp.var(x, axis=-2, keepdims=True)
         else:
@@ -130,6 +140,8 @@ class ContextNorm(nn.Module):
             count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
             mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
             var = jnp.sum(((x - mean) ** 2) * m, axis=-2, keepdims=True) / count
+        if self.unbiased:
+            var = var * (count / jnp.maximum(count - 1.0, 1.0))
         return (x - mean) / jnp.sqrt(var + self.epsilon)
 
 

@@ -99,7 +99,8 @@ class PointCNStack(nn.Module):
         x = nn.Dense(self.num_channels)(x)
         for _ in range(self.num_layers):
             x = nn.Dense(self.num_channels)(x)
-            x = ContextNorm()(x, mask=mask)
+            # reference ContextNormalization uses torch.var -> unbiased
+            x = ContextNorm(unbiased=True)(x, mask=mask)
             x = MaskedBatchNorm()(x, mask=mask, train=train)
             x = nn.relu(x)
         return x

@@ -214,12 +214,13 @@ class PointDSC(nn.Module):
 
         # ---- Step 5: test-time post refinement.
         if testing:
+            # final_labels stay those of the PRE-refinement winning
+            # hypothesis: the reference computes them in cal_seed_trans and
+            # never relabels after post_refinement (PointDSC.py:182-193) —
+            # the eval protocol's precision/recall/F1 columns depend on this
             final_trans = self.post_refinement(
                 final_trans, src_keypts, tgt_keypts, mask, fused=fused_attention
             )
-            warped = transform(src_keypts, final_trans)
-            dist = jnp.linalg.norm(warped - tgt_keypts, axis=-1)
-            final_labels = ((dist < self.inlier_threshold) & mask).astype(jnp.float32)
         else:
             # training: return confidence logits for the classification loss
             final_labels = confidence
