@@ -41,6 +41,10 @@ class PointDSCOutput(NamedTuple):
     seed_trans: jnp.ndarray  # [B, S, 4, 4]
     seed_fitness: jnp.ndarray  # [B, S]
     confidence: jnp.ndarray  # [B, N] classification logits
+    # inputs of the fused SM-loss kernel (kernels/sm_loss.py): lets the
+    # trainer compute the SM loss without any [B, N, N] tensor existing
+    normed_features: jnp.ndarray | None = None  # [B, N, C]
+    sigma: jnp.ndarray | None = None  # learned similarity bandwidth, (1,)
 
 
 class PointDSC(nn.Module):
@@ -72,7 +76,12 @@ class PointDSC(nn.Module):
         testing: bool = False,
         train: bool = False,
         fused_attention: bool = False,
+        skip_M: bool = False,
     ) -> PointDSCOutput:
+        """skip_M=True suppresses materializing the [B, N, N] feature
+        similarity matrix in training mode; the trainer then computes the
+        SM loss with the fused Pallas kernel from (normed_features, sigma)
+        returned in the output (config.fused_sm_loss)."""
         bs, num_corr = corr_pos.shape[0], corr_pos.shape[1]
         if mask is None:
             mask = jnp.ones((bs, num_corr), dtype=bool)
@@ -158,7 +167,11 @@ class PointDSC(nn.Module):
         normed_features = corr_features / jnp.sqrt(feat_sq + 1e-12)
 
         # ---- Feature-similarity matrix M (training only; SM-loss target).
-        M = None if testing else feature_similarity(normed_features, sigma, mask=mask)
+        M = (
+            None
+            if (testing or skip_M)
+            else feature_similarity(normed_features, sigma, mask=mask)
+        )
 
         # ---- Step 2: confidence MLP + seed selection.
         # Parameters are declared through holders with nn.Dense's exact tree
@@ -232,6 +245,8 @@ class PointDSC(nn.Module):
             seed_trans=seed_trans,
             seed_fitness=seed_fitness,
             confidence=confidence,
+            normed_features=normed_features,
+            sigma=sigma,
         )
 
     # ------------------------------------------------------------------

@@ -83,6 +83,7 @@ class Config:
     num_devices: int = 0  # 0 = all local devices
     half_precision: bool = False  # bf16 activations in the encoder
     fused_attention: bool = False  # flash-style Pallas SC-attention kernels
+    fused_sm_loss: bool = False  # tile-wise Pallas SM loss (no [B,N,N] in HBM)
     remat: bool = False  # rematerialize encoder layers (training memory)
 
     def to_json(self) -> str:

@@ -132,6 +132,7 @@ class Trainer:
             mask=batch["mask"],
             train=True,
             fused_attention=cfg.fused_attention,
+            skip_M=cfg.fused_sm_loss,
             mutable=["batch_stats"],
         )
         gt_labels, mask = batch["gt_labels"], batch["mask"]
@@ -139,7 +140,19 @@ class Trainer:
             out.final_labels, gt_labels, mask, balanced=cfg.balanced
         )
         # reference wires config.balanced into BOTH losses (train_3DMatch.py:104-105)
-        sm_loss = spectral_matching_loss(out.M, gt_labels, mask, balanced=cfg.balanced)
+        if cfg.fused_sm_loss:
+            # tile-wise Pallas loss: identical value/grads to the dense
+            # chain (tests/test_sm_loss_kernel.py) with no [B, N, N] tensor
+            # in either pass
+            from pointdsc_tpu.kernels.sm_loss import fused_spectral_matching_loss
+
+            sm_loss = fused_spectral_matching_loss(
+                out.normed_features, out.sigma, gt_labels, mask, cfg.balanced
+            )
+        else:
+            sm_loss = spectral_matching_loss(
+                out.M, gt_labels, mask, balanced=cfg.balanced
+            )
         tl = transformation_loss(
             out.final_trans,
             batch["gt_trans"],
@@ -215,15 +228,26 @@ class Trainer:
                 mask=batch["mask"],
                 train=False,
                 fused_attention=cfg.fused_attention,
+                skip_M=cfg.fused_sm_loss,
                 mutable=["batch_stats"],
             )
             gt_labels, mask = batch["gt_labels"], batch["mask"]
             class_loss = classification_loss(
                 out.final_labels, gt_labels, mask, balanced=cfg.balanced
             )
-            sm_loss = spectral_matching_loss(
-                out.M, gt_labels, mask, balanced=cfg.balanced
-            )
+            if cfg.fused_sm_loss:
+                from pointdsc_tpu.kernels.sm_loss import (
+                    fused_spectral_matching_loss,
+                )
+
+                sm_loss = fused_spectral_matching_loss(
+                    out.normed_features, out.sigma, gt_labels, mask,
+                    cfg.balanced,
+                )
+            else:
+                sm_loss = spectral_matching_loss(
+                    out.M, gt_labels, mask, balanced=cfg.balanced
+                )
             tl = transformation_loss(
                 out.final_trans,
                 batch["gt_trans"],

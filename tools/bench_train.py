@@ -74,6 +74,8 @@ def main(argv=None):
     variant = []
     if cfg.fused_attention:
         variant.append("fused")
+    if cfg.fused_sm_loss:
+        variant.append("smloss")
     if cfg.remat:
         variant.append("remat")
     if cfg.half_precision:

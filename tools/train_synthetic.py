@@ -31,6 +31,24 @@ def main(argv=None):
         default=False,
         help="train through the custom-VJP flash attention kernels",
     )
+    parser.add_argument(
+        "--fused_sm_loss", type=lambda v: v.lower() in ("true", "1"),
+        default=False,
+        help="tile-wise Pallas SM loss (no [bs, N, N] in HBM)",
+    )
+    parser.add_argument(
+        "--remat", type=lambda v: v.lower() in ("true", "1"), default=False,
+    )
+    parser.add_argument(
+        "--kitti_regime", type=lambda v: v.lower() in ("true", "1"),
+        default=False,
+        help="KITTI-scale training: N=12288, bs=2, sigma_d=1.2, "
+             "tau=0.6 m, ~50 m scene scale (the regime the reference "
+             "cannot train in at all)",
+    )
+    parser.add_argument("--num_node", type=int, default=0,
+                        help="override correspondence count")
+    parser.add_argument("--batch_size", type=int, default=0)
     args = parser.parse_args(argv)
 
     from pointdsc_tpu.data import Loader, SyntheticPairDataset
@@ -52,7 +70,16 @@ def main(argv=None):
     from pointdsc_tpu.train.trainer import Trainer
     from pointdsc_tpu.utils.seed import set_seed
 
-    cfg = default_config("3DMatch")
+    cfg = default_config("KITTI" if args.kitti_regime else "3DMatch")
+    if args.kitti_regime:
+        cfg.num_node = 12288
+        cfg.batch_size = 2
+        cfg.inlier_threshold = 0.6
+        cfg.sigma_d = 1.2
+    if args.num_node:
+        cfg.num_node = args.num_node
+    if args.batch_size:
+        cfg.batch_size = args.batch_size
     cfg.max_epoch = args.epochs
     cfg.training_max_iter = args.iters
     cfg.val_max_iter = 8
@@ -61,20 +88,27 @@ def main(argv=None):
     cfg.tboard_dir = os.path.join(args.snapshot_dir, "tb")
     cfg.exp_id = args.exp_id
     cfg.fused_attention = args.fused_attention
+    cfg.fused_sm_loss = args.fused_sm_loss
+    cfg.remat = args.remat
     set_seed(cfg.seed)
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.snapshot_dir, "config.json"))
 
     ratios = [float(r) for r in args.ratios.split(",")]
     per = max(1, args.num_pairs // len(ratios))
+    # KITTI regime: LiDAR-scale coordinates and the 0.6 m inlier radius
+    ds_kw = dict(num_corr=cfg.num_node)
+    if args.kitti_regime:
+        ds_kw.update(scene_scale=50.0, noise=0.05,
+                     inlier_threshold=cfg.inlier_threshold)
     train_ds = MixedRatios([
-        SyntheticPairDataset(num_pairs=per, num_corr=cfg.num_node,
-                             inlier_ratio=r, seed=17 * i)
+        SyntheticPairDataset(num_pairs=per, inlier_ratio=r, seed=17 * i,
+                             **ds_kw)
         for i, r in enumerate(ratios)
     ])
     val_ds = MixedRatios([
-        SyntheticPairDataset(num_pairs=64, num_corr=cfg.num_node,
-                             inlier_ratio=r, seed=9999 + i)
+        SyntheticPairDataset(num_pairs=64, inlier_ratio=r, seed=9999 + i,
+                             **ds_kw)
         for i, r in enumerate(ratios)
     ])
     train_loader = Loader(train_ds, cfg.batch_size, shuffle=True, num_workers=8)
