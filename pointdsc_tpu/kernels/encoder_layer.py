@@ -1,0 +1,270 @@
+"""Whole-encoder-layer fusion (Pallas TPU, eval fast path).
+
+One encoder "layer" of the reference network is PointCN (Conv1d + BN +
+ReLU) followed by the SC-modulated NonLocal block (QKV projections,
+compat-modulated attention, 3-Dense message MLP with two BNs, residual) —
+/root/reference/models/PointDSC.py:9-77. The round-2 fast path fused only
+the attention; the surrounding Dense/BN/ReLU chain still made ~10 HBM
+round-trips of [N, C] activations per layer plus as many dispatch
+boundaries.
+
+This kernel runs the ENTIRE layer in one pallas_call with a two-phase
+grid:
+
+  phase 1 (grid row i==0, j over row tiles): x -> h = relu(x W1' + b1')
+      (BN folded into W1/b1 — eval uses running stats, so BN is an exact
+      per-channel affine), qkv = h Wqkv + bqkv; h kept in f32 VMEM
+      scratch, q/k/v stored bf16 in VMEM scratch. Nothing leaves the chip.
+  phase 2 (rows i>=1, q tile qi=i-1, j over key tiles): int8-cached
+      compat attention with online softmax (same math as
+      kernels/sc_attention.py::_sc_attention_cached_kernel); on the last
+      key tile the message MLP (BN-folded) and residual h + msg run in
+      VMEM and only the final [bq, C] layer output is written to HBM.
+
+Per-layer HBM traffic drops from ~35 MB of activation round-trips + the
+compat stream to: x read + out write (2 x N*C*4 bytes) + the compat
+stream. VMEM holds h (f32) and q/k/v (bf16) for the whole N, so the
+kernel is gated to N <= MAX_FUSED_LAYER_N; larger sizes keep the
+per-op path.
+
+Equivalence vs the unfused fast path is asserted in
+tests/test_encoder_layer_kernel.py; quality equivalence of the whole
+pipeline in tools/eval_quality_equivalence.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# h (f32) + q/k/v (bf16) VMEM scratch = N * C * 10 bytes; with tile
+# buffers and softmax scratch the budget tops out around N ~ 6k on a
+# 16 MB-VMEM core
+MAX_FUSED_LAYER_N = 6144
+
+
+def fold_bn(kernel, bias, scale, bn_bias, mean, var, eps=1e-5):
+    """Fold an eval-mode BatchNorm (y = (x - mean)/sqrt(var+eps) * scale
+    + bias) into the preceding Dense: returns (kernel', bias')."""
+    a = scale / jnp.sqrt(var + eps)
+    return kernel * a[None, :], bias * a + (bn_bias - mean * a)
+
+
+def _make_kernel(n, c, bq, bk, has_bias, n_k):
+    scale = 1.0 / (c**0.5) / 127.0  # qk scale with the int8 decode folded in
+
+    def kernel(
+        x_ref,  # (bk, c) f32: row tile (phase 1)
+        compat_ref,  # (bq, bk) int8
+        kbias_ref,  # (8, bk) f32: row 0 = key bias (only read if has_bias)
+        w1_ref, b1_ref,  # (c, c), (1, c)  [BN folded]
+        wqkv_ref, bqkv_ref,  # (c, 3c), (1, 3c)
+        wm0_ref, bm0_ref,  # (c, c//2), (1, c//2)  [BN folded]
+        wm1_ref, bm1_ref,  # (c//2, c//2), (1, c//2)  [BN folded]
+        wm2_ref, bm2_ref,  # (c//2, c), (1, c)
+        out_ref,  # (bq, c) f32
+        h_scr,  # (n, c) f32
+        q_scr, k_scr, v_scr,  # (n, c) bf16
+        ml_scr,  # (bq, 128) f32: col 0 = running max, col 1 = running sumexp
+        acc_scr,  # (bq, c) f32
+    ):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        f32 = jnp.float32
+
+        @pl.when(i == 0)
+        def _phase1():
+            x = x_ref[:]
+            h = jnp.maximum(
+                jax.lax.dot_general(
+                    x, w1_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                + b1_ref[:],
+                0.0,
+            )
+            rows = pl.ds(j * bk, bk)
+            h_scr[rows, :] = h
+            qkv = (
+                jax.lax.dot_general(
+                    h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                + bqkv_ref[:]
+            )
+            q_scr[rows, :] = qkv[:, 0:c].astype(jnp.bfloat16)
+            k_scr[rows, :] = qkv[:, c:2 * c].astype(jnp.bfloat16)
+            v_scr[rows, :] = qkv[:, 2 * c:3 * c].astype(jnp.bfloat16)
+
+        @pl.when(i > 0)
+        def _phase2():
+            qi = i - 1
+
+            @pl.when(j == 0)
+            def _init():
+                ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], -1e9)
+                ml_scr[:, 1:2] = jnp.zeros_like(ml_scr[:, 1:2])
+                acc_scr[:] = jnp.zeros_like(acc_scr)
+
+            q = q_scr[pl.ds(qi * bq, bq), :]
+            k = k_scr[pl.ds(j * bk, bk), :]
+            v = v_scr[pl.ds(j * bk, bk), :]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            s = compat_ref[:].astype(f32) * logits
+            if has_bias:
+                s = s + kbias_ref[0:1, :]
+
+            m_prev = ml_scr[:, 0:1]
+            l_prev = ml_scr[:, 1:2]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            acc_scr[:] = acc_scr[:] * alpha + pv
+            ml_scr[:, 0:1] = m_new
+            ml_scr[:, 1:2] = l_new
+
+            @pl.when(j == n_k - 1)
+            def _epilogue():
+                o = acc_scr[:] / (ml_scr[:, 1:2] + 1e-30)
+                msg = jnp.maximum(
+                    jax.lax.dot_general(
+                        o, wm0_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    + bm0_ref[:],
+                    0.0,
+                )
+                msg = jnp.maximum(
+                    jax.lax.dot_general(
+                        msg, wm1_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    + bm1_ref[:],
+                    0.0,
+                )
+                msg = (
+                    jax.lax.dot_general(
+                        msg, wm2_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    + bm2_ref[:]
+                )
+                out_ref[:] = h_scr[pl.ds(qi * bq, bq), :] + msg
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "has_bias", "interpret")
+)
+def _fused_layer_single(
+    x, compat, kbias, weights, block_q=1024, block_k=1024, has_bias=False,
+    interpret=False,
+):
+    n, c = x.shape
+    bq, bk = min(block_q, n), min(block_k, n)
+    assert n % bq == 0 and n % bk == 0
+    n_q, n_k = n // bq, n // bk
+    kernel = _make_kernel(n, c, bq, bk, has_bias, n_k)
+    (w1, b1, wqkv, bqkv, wm0, bm0, wm1, bm1, wm2, bm2) = weights
+
+    def row2(v):  # biases as (1, len) so TPU sees 2-D operands
+        return v.reshape(1, -1)
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i, j: (0, 0))
+    grid = (n_q + 1, n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # phase 1 consumes row tile j; phase 2 pins block 0 (no refetch)
+            pl.BlockSpec((bk, c), lambda i, j: (jnp.where(i == 0, j, 0), 0)),
+            # phase 1 (i==0) maps to row 0 blocks: those prefetches overlap
+            # phase-1 compute and are exactly the tiles phase 2's first row
+            # (i==1) needs — pinning a single block here measured ~0.3 ms
+            # SLOWER because i==1 then fetches its row cold
+            pl.BlockSpec((bq, bk), lambda i, j: (jnp.maximum(i - 1, 0), j)),
+            pl.BlockSpec((8, bk), lambda i, j: (0, j)),
+            full(w1), pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            full(wqkv), pl.BlockSpec((1, 3 * c), lambda i, j: (0, 0)),
+            full(wm0), pl.BlockSpec((1, c // 2), lambda i, j: (0, 0)),
+            full(wm1), pl.BlockSpec((1, c // 2), lambda i, j: (0, 0)),
+            full(wm2), pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bq, c), lambda i, j: (jnp.maximum(i - 1, 0), 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((n, c), jnp.bfloat16),
+            pltpu.VMEM((n, c), jnp.bfloat16),
+            pltpu.VMEM((n, c), jnp.bfloat16),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, c), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        interpret=interpret,
+    )(
+        x, compat, kbias,
+        w1, row2(b1), wqkv, row2(bqkv),
+        wm0, row2(bm0), wm1, row2(bm1), wm2, row2(bm2),
+    )
+
+
+def make_fused_layer_fn(compat_cache, mask=None, interpret=None):
+    """Build the per-layer hook consumed by NonLocalNet's fused-layer path.
+
+    Args:
+        compat_cache: [B, N, N] int8 shared spatial-consistency cache.
+        mask: [B, N] bool or None.
+    Returns fn(x, pcn_params, nl_params) -> x where the param tuples come
+    from the flax holder modules (see models/blocks.py):
+        pcn_params = (w1, b1, bn1)           bn1 = (scale, bias, mean, var)
+        nl_params = (wq, bq_, wk, bk_, wv, bv, wm0, bm0_, bn_m0,
+                     wm1, bm1_, bn_m1, wm2, bm2_)
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = compat_cache.shape[-1]
+    if mask is None:
+        kbias = jnp.zeros((compat_cache.shape[0], 8, n), jnp.float32)
+        has_bias = False
+    else:
+        row = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+        kbias = jnp.zeros((compat_cache.shape[0], 8, n), jnp.float32)
+        kbias = kbias.at[:, 0, :].set(row)
+        has_bias = True
+
+    def layer_fn(x, pcn_params, nl_params):
+        (w1, b1, (s1, bb1, m1, v1)) = pcn_params
+        (wq, bq_, wk, bk_, wv, bv,
+         wm0, bm0_, (sm0, bbm0, mm0, vm0),
+         wm1, bm1_, (sm1, bbm1, mm1, vm1),
+         wm2, bm2_) = nl_params
+
+        w1f, b1f = fold_bn(w1, b1, s1, bb1, m1, v1)
+        wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
+        bqkv = jnp.concatenate([bq_, bk_, bv], axis=-1)
+        wm0f, bm0f = fold_bn(wm0, bm0_, sm0, bbm0, mm0, vm0)
+        wm1f, bm1f = fold_bn(wm1, bm1_, sm1, bbm1, mm1, vm1)
+        weights = tuple(
+            w.astype(jnp.float32)
+            for w in (w1f, b1f, wqkv, bqkv, wm0f, bm0f, wm1f, bm1f, wm2, bm2_)
+        )
+        fn = functools.partial(
+            _fused_layer_single, has_bias=has_bias, interpret=interpret
+        )
+        return jax.vmap(lambda xx, cc, bb: fn(xx, cc, bb, weights))(
+            x.astype(jnp.float32), compat_cache, kbias
+        )
+
+    return layer_fn

@@ -290,38 +290,40 @@ def _sc_attention_cached_kernel(
     q_ref,  # VMEM (TQ, C)
     k_ref,  # VMEM (TK, C)
     v_ref,  # VMEM (TK, C)
-    compat_ref,  # VMEM (TQ, TK) bf16/f32 cached compatibility tile
+    compat_ref,  # VMEM (TQ, TK) int8/bf16/f32 cached compatibility tile
     geom_k_ref,  # VMEM (16, TK): row 8 = key bias
     out_ref,  # VMEM (TQ, C)
-    m_scr,
-    l_scr,
+    ml_scr,  # (TQ, 128) f32: col 0 running max, col 1 running sumexp
     acc_scr,
 ):
     kj = pl.program_id(1)
 
     @pl.when(kj == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, _NEG)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], _NEG)
+        ml_scr[:, 1:2] = jnp.zeros_like(ml_scr[:, 1:2])
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     f32 = jnp.float32
     bias_k = geom_k_ref[8:9, :]
     compat = compat_ref[:]
+    c = q_ref.shape[-1]
     if compat.dtype == jnp.int8:
-        # quantized cache: values in [0, 1] stored as round(c * 127)
-        compat = compat.astype(f32) * (1.0 / 127.0)
+        # quantized cache: values in [0, 1] stored as round(c * 127); the
+        # 1/127 decode folds into the qk scale
+        compat = compat.astype(f32)
+        qk_scale = 1.0 / (c**0.5) / 127.0
     else:
         compat = compat.astype(f32)
+        qk_scale = 1.0 / (c**0.5)
 
-    c = q_ref.shape[-1]
     logits = jax.lax.dot_general(
         q_ref[:], k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
-    ) * (1.0 / (c**0.5))
+    ) * qk_scale
     s = compat * logits + bias_k
 
-    m_prev = m_scr[:, 0:1]
-    l_prev = l_scr[:, 0:1]
+    m_prev = ml_scr[:, 0:1]
+    l_prev = ml_scr[:, 1:2]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
@@ -331,12 +333,12 @@ def _sc_attention_cached_kernel(
         preferred_element_type=f32,
     )
     acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:, 0:1] = m_new
-    l_scr[:, 0:1] = l_new
+    ml_scr[:, 0:1] = m_new
+    ml_scr[:, 1:2] = l_new
 
     @pl.when(kj == pl.num_programs(1) - 1)
     def _finalize():
-        out_ref[:] = acc_scr[:] / (l_scr[:, 0:1] + 1e-30)
+        out_ref[:] = acc_scr[:] / (ml_scr[:, 1:2] + 1e-30)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -358,7 +360,6 @@ def _fused_sc_attention_cached_single(
         ],
         out_specs=pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, c), jnp.float32),
         ],

@@ -186,6 +186,65 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _BNParams(nn.Module):
+    """Parameter/stats holder with MaskedBatchNorm's exact tree layout
+    ({scale, bias} params + {mean, var} batch_stats) but no computation:
+    the fused encoder-layer kernel folds eval-mode BN into the preceding
+    Dense, so it needs the raw arrays while checkpoints keep the layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _PointCNParams(nn.Module):
+    """PointCNLayer's parameter tree (Dense_0 + MaskedBatchNorm_0) as raw
+    arrays for the fused encoder-layer kernel."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k, b = _DenseParams(self.in_features, self.features, name="Dense_0")()
+        bn = _BNParams(self.features, name="MaskedBatchNorm_0")()
+        return k, b, bn
+
+
+class _NonLocalParams(nn.Module):
+    """NonLocalBlock's parameter tree as raw arrays (same subtree names as
+    the computing module: projection_q/k/v, fc_message_0..2, bn0/bn1)."""
+
+    num_channels: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.num_channels
+        kq, bq = _DenseParams(c, c, name="projection_q")()
+        kk, bk = _DenseParams(c, c, name="projection_k")()
+        kv, bv = _DenseParams(c, c, name="projection_v")()
+        km0, bm0 = _DenseParams(c, c // 2, name="fc_message_0")()
+        bn0 = _BNParams(c // 2, name="fc_message_bn0")()
+        km1, bm1 = _DenseParams(c // 2, c // 2, name="fc_message_1")()
+        bn1 = _BNParams(c // 2, name="fc_message_bn1")()
+        km2, bm2 = _DenseParams(c // 2, c, name="fc_message_2")()
+        return (kq, bq, kk, bk, kv, bv, km0, bm0, bn0, km1, bm1, bn1, km2, bm2)
+
+
 class NonLocalBlock(nn.Module):
     """Spatial-consistency-modulated single-head attention block.
 
@@ -282,7 +341,8 @@ class NonLocalNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, corr_feat, compat, mask=None, train: bool = False, attention_fn=None
+        self, corr_feat, compat, mask=None, train: bool = False,
+        attention_fn=None, fused_layer_fn=None,
     ):
         # corr_feat: [B, N, in_dim]
         x = nn.Dense(
@@ -290,6 +350,21 @@ class NonLocalNet(nn.Module):
             kernel_init=nn.initializers.xavier_normal(),
             name="layer0",
         )(corr_feat)
+        if fused_layer_fn is not None:
+            # eval fast path: each (PointCN + NonLocal) pair runs as ONE
+            # Pallas kernel (kernels/encoder_layer.py). The holder modules
+            # declare the identical parameter tree, so checkpoints and the
+            # torch importer are oblivious to which path executes.
+            for i in range(self.num_layers):
+                pcn = _PointCNParams(
+                    self.num_channels, self.num_channels,
+                    name=f"PointCN_layer_{i}",
+                )()
+                nl = _NonLocalParams(
+                    self.num_channels, name=f"NonLocal_layer_{i}"
+                )()
+                x = fused_layer_fn(x, pcn, nl)
+            return x
         for i in range(self.num_layers):
             x = PointCNLayer(
                 self.num_channels,

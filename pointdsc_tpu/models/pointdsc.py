@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from pointdsc_tpu.kernels.encoder_layer import MAX_FUSED_LAYER_N as _MAX_FUSED_LAYER_N
 from pointdsc_tpu.models.blocks import NonLocalNet
 from pointdsc_tpu.ops.compatibility import spatial_consistency, feature_similarity
 from pointdsc_tpu.ops.eig import power_iteration
@@ -96,6 +97,7 @@ class PointDSC(nn.Module):
         # materialized: each attention layer recomputes compatibility tiles
         # in VMEM from the raw coordinates (kernels/sc_attention.py).
         attention_fn = None
+        fused_layer_fn = None
         if fused_attention:
             from pointdsc_tpu.kernels.sc_attention import make_sc_attention_fn
 
@@ -128,6 +130,24 @@ class PointDSC(nn.Module):
             )
             compat = None
             src_dist = None  # NMS runs its own fused kernel; no [N,N] in HBM
+
+            # Whole-layer fusion (kernels/encoder_layer.py): each
+            # PointCN+NonLocal pair is ONE kernel — PointCN, QKV, cached
+            # attention, message MLP and residual never leave VMEM. Gated
+            # to eval (BN folding needs running stats), the int8 cache
+            # path, f32 activations, and N small enough that q/k/v/h for
+            # the whole pair fit VMEM.
+            if (
+                compat_cache is not None
+                and not self.half_precision
+                and not self.remat
+                and num_corr <= _MAX_FUSED_LAYER_N
+            ):
+                from pointdsc_tpu.kernels.encoder_layer import (
+                    make_fused_layer_fn,
+                )
+
+                fused_layer_fn = make_fused_layer_fn(compat_cache, mask=mask)
         else:
             compat, src_dist = jax.lax.stop_gradient(
                 spatial_consistency(
@@ -160,7 +180,8 @@ class PointDSC(nn.Module):
             corr_features = encoder(corr_pos, compat, mask, train, attention_fn)
         else:
             corr_features = encoder(
-                corr_pos, compat, mask=mask, train=train, attention_fn=attention_fn
+                corr_pos, compat, mask=mask, train=train,
+                attention_fn=attention_fn, fused_layer_fn=fused_layer_fn,
             )
         # safe L2 normalize (finite gradient even for a zero feature vector)
         feat_sq = jnp.sum(corr_features * corr_features, axis=-1, keepdims=True)
