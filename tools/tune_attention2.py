@@ -64,19 +64,19 @@ def main():
         return float(np.median(ts))
 
     def bench(make_call, tag):
+        # all big arrays as explicit args: closed-over constants are
+        # serialized into the remote-compile request (HTTP 413 at 20k)
         @jax.jit
-        def run(q0):
-            x = q0
-
+        def run(q0, kk_, vv_, compat_, geom_):
             def layer(x, _):
-                out = make_call(x)
+                out = make_call(x, kk_, vv_, compat_, geom_)
                 return out.astype(x.dtype), None
 
-            x, _ = jax.lax.scan(layer, x, None, length=args.layers)
+            x, _ = jax.lax.scan(layer, q0, None, length=args.layers)
             return x
 
         try:
-            np.asarray(run(qb))
+            np.asarray(run(qb, kb, vb, compat, geom))
         except Exception as e:
             print(f"{tag}: FAILED ({str(e).splitlines()[0][:120]})")
             return
@@ -84,7 +84,7 @@ def main():
         for _ in range(args.reps):
             rs.append(rtt())
             t0 = time.perf_counter()
-            np.asarray(run(qb))
+            np.asarray(run(qb, kb, vb, compat, geom))
             ts.append(time.perf_counter() - t0)
         ms = (np.median(ts) - np.median(rs)) * 1000
         print(f"{tag}: {ms:.3f} ms / {args.layers} layers "
@@ -95,8 +95,9 @@ def main():
         if n % bq or n % bk:
             continue
         bench(
-            lambda x, bq=bq, bk=bk: _fused_sc_attention_cached_single(
-                x, kb, vb, compat, geom, block_q=bq, block_k=bk,
+            lambda x, kk_, vv_, cc_, gg_, bq=bq, bk=bk:
+            _fused_sc_attention_cached_single(
+                x, kk_, vv_, cc_, gg_, block_q=bq, block_k=bk,
                 interpret=False,
             ),
             f"cached int8 bq={bq} bk={bk}",
