@@ -69,8 +69,9 @@ def _make_kernel(n, c, bq, bk, has_bias, n_k):
         out_ref,  # (bq, c) f32
         h_scr,  # (n, c) f32
         q_scr, k_scr, v_scr,  # (n, c) bf16
-        ml_scr,  # (bq, 128) f32: col 0 = running max, col 1 = running sumexp
+        ml_scr,  # (bq, 128) f32: col 0 = per-row softmax offset, col 1 = sumexp
         acc_scr,  # (bq, c) f32
+        kmax_scr,  # SMEM (1, 1) f32: running max ||k_j|| over phase-1 tiles
     ):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -97,8 +98,21 @@ def _make_kernel(n, c, bq, bk, has_bias, n_k):
                 + bqkv_ref[:]
             )
             q_scr[rows, :] = qkv[:, 0:c].astype(jnp.bfloat16)
-            k_scr[rows, :] = qkv[:, c:2 * c].astype(jnp.bfloat16)
+            kt = qkv[:, c:2 * c].astype(jnp.bfloat16)
+            k_scr[rows, :] = kt
             v_scr[rows, :] = qkv[:, 2 * c:3 * c].astype(jnp.bfloat16)
+            # running max key norm for the offset softmax (phase 2); the
+            # grid is sequential, so phase 1 finishes before phase 2 reads
+            ktf = kt.astype(f32)
+            tile_kmax = jnp.sqrt(jnp.max(jnp.sum(ktf * ktf, axis=-1)))
+
+            @pl.when(j == 0)
+            def _seed():
+                kmax_scr[0, 0] = tile_kmax
+
+            @pl.when(j > 0)
+            def _accum():
+                kmax_scr[0, 0] = jnp.maximum(kmax_scr[0, 0], tile_kmax)
 
         @pl.when(i > 0)
         def _phase2():
@@ -106,7 +120,14 @@ def _make_kernel(n, c, bq, bk, has_bias, n_k):
 
             @pl.when(j == 0)
             def _init():
-                ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], -1e9)
+                # offset softmax (see sc_attention.py::
+                # _sc_attention_cached_offset_kernel): o_i = ||q_i|| *
+                # max_j ||k_j|| / sqrt(c) bounds every compat-modulated
+                # logit, so the per-tile running-max pass, alpha rescale
+                # and m bookkeeping drop out of the flash loop
+                qf = q_scr[pl.ds(qi * bq, bq), :].astype(f32)
+                qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
+                ml_scr[:, 0:1] = qn * (kmax_scr[0, 0] * (1.0 / (c**0.5)))
                 ml_scr[:, 1:2] = jnp.zeros_like(ml_scr[:, 1:2])
                 acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -120,19 +141,13 @@ def _make_kernel(n, c, bq, bk, has_bias, n_k):
             if has_bias:
                 s = s + kbias_ref[0:1, :]
 
-            m_prev = ml_scr[:, 0:1]
-            l_prev = ml_scr[:, 1:2]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            p = jnp.exp(s - ml_scr[:, 0:1])
+            ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-            acc_scr[:] = acc_scr[:] * alpha + pv
-            ml_scr[:, 0:1] = m_new
-            ml_scr[:, 1:2] = l_new
+            acc_scr[:] = acc_scr[:] + pv
 
             @pl.when(j == n_k - 1)
             def _epilogue():
@@ -210,6 +225,7 @@ def _fused_layer_single(
             pltpu.VMEM((n, c), jnp.bfloat16),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, c), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
         interpret=interpret,

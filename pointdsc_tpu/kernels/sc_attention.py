@@ -235,18 +235,49 @@ def fused_sc_attention(
 
 def _compat_cache_kernel(sigma_ref, gq_ref, gk_ref, out_ref):
     """Write the int8 (scale-127) compatibility cache tile directly from the
-    packed geometry strips — no f32 [N, N] intermediate ever exists."""
-    compat = _compat_tile(gq_ref[:], gk_ref[:], sigma_ref[0, 0])
-    out_ref[:] = jnp.round(compat * 127.0).astype(jnp.int8)
+    packed geometry strips — no f32 [N, N] intermediate ever exists.
+
+    Uses |d_s - d_t|^2 = d_s^2 + d_t^2 - 2*sqrt(d_s^2 * d_t^2): one sqrt
+    pass instead of two (the VPU's transcendental unit is the builder's
+    bottleneck, not the MXU grams). The extra cancellation this form incurs
+    (~2e-4 of compat at sigma_d=0.10, ~1.4e-3 at the KITTI sigma_d=1.2 /
+    100 m scale) stays below the 1/255 quantization step."""
+    f32 = jnp.float32
+    gq, gk = gq_ref[:], gk_ref[:]
+    inner_src = jax.lax.dot_general(
+        gq[0:3, :], gk[0:3, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    inner_tgt = jax.lax.dot_general(
+        gq[4:7, :], gk[4:7, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    s2 = jnp.maximum(gq[3:4, :].T + gk[3:4, :] - 2.0 * inner_src, 0.0)
+    t2 = jnp.maximum(gq[7:8, :].T + gk[7:8, :] - 2.0 * inner_tgt, 0.0)
+    diff2 = s2 + t2 - 2.0 * jnp.sqrt(s2 * t2)
+    sig = sigma_ref[0, 0]
+    scaled = 127.0 - diff2 * (127.0 / (sig * sig))
+    out_ref[:] = jnp.round(jnp.maximum(scaled, 0.0)).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _build_compat_cache_single(geom, sigma_d, block_q=512, block_k=1024,
+def _build_compat_cache_single(geom, sigma_d, block_q=None, block_k=None,
                                interpret=False):
     n = geom.shape[1]
+    # swept at N=20480 on v5e: 1024x2048 with parallel grid semantics is
+    # ~30% faster than the round-2 512x1024 (fewer grid steps, same VMEM)
+    if block_q is None:
+        block_q = 1024 if n % 1024 == 0 else 512
+    if block_k is None:
+        block_k = 2048 if n % 2048 == 0 else 1024
     bq, bk = min(block_q, n), min(block_k, n)
     assert n % bq == 0 and n % bk == 0
     sig = jnp.asarray(sigma_d, jnp.float32).reshape(1, 1)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        )
     return pl.pallas_call(
         _compat_cache_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -260,6 +291,7 @@ def _build_compat_cache_single(geom, sigma_d, block_q=512, block_k=1024,
             out_specs=pl.BlockSpec((bq, bk), lambda qi, kj: (qi, kj)),
         ),
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
+        **kw,
         interpret=interpret,
     )(sig, geom, geom)
 
@@ -341,35 +373,120 @@ def _sc_attention_cached_kernel(
         out_ref[:] = acc_scr[:] / (ml_scr[:, 1:2] + 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _sc_attention_cached_offset_kernel(
+    kscale_ref,  # SMEM (1, 1): max_j ||k_j|| / sqrt(c)
+    q_ref,  # VMEM (TQ, C)
+    k_ref,  # VMEM (TK, C)
+    v_ref,  # VMEM (TK, C)
+    compat_ref,  # VMEM (TQ, TK) int8/bf16/f32 cached compatibility tile
+    geom_k_ref,  # VMEM (16, TK): row 8 = key bias
+    out_ref,  # VMEM (TQ, C)
+    ml_scr,  # (TQ, 128) f32: col 0 = per-row offset, col 1 = running sumexp
+    acc_scr,
+):
+    """Offset softmax: softmax(s)_j = exp(s_j - o) / sum_j exp(s_j - o) is
+    EXACT for any offset o >= max_j s_j (no overflow) that is not too far
+    above it (precision decays as e^{-(o - max s)}). The per-row bound
+    o_i = ||q_i|| * max_j ||k_j|| / sqrt(c) >= max_j(compat_ij * logit_ij)
+    (compat is in [0, 1] and the key bias is <= 0) is computable in O(N C),
+    so the per-tile running-max reduction, the alpha rescale of the
+    accumulator, and the m bookkeeping of the flash formulation all drop
+    out — ~27% of the kernel's time at N=20480 (the exp itself is cheap on
+    the VPU's transcendental unit; the max pass is not). Cauchy-Schwarz
+    slack for BN'd activations is a few units of exponent, orders below
+    f32's e^-80 precision cliff. Eval-only (the trainable kernels keep the
+    running max: mid-training activations carry no norm guarantees)."""
+    kj = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(kj == 0)
+    def _init():
+        qf = q_ref[:].astype(f32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
+        ml_scr[:, 0:1] = qn * kscale_ref[0, 0]
+        ml_scr[:, 1:2] = jnp.zeros_like(ml_scr[:, 1:2])
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    bias_k = geom_k_ref[8:9, :]
+    compat = compat_ref[:]
+    c = q_ref.shape[-1]
+    if compat.dtype == jnp.int8:
+        compat = compat.astype(f32)
+        qk_scale = 1.0 / (c**0.5) / 127.0
+    else:
+        compat = compat.astype(f32)
+        qk_scale = 1.0 / (c**0.5)
+
+    logits = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * qk_scale
+    s = compat * logits + bias_k
+    p = jnp.exp(s - ml_scr[:, 0:1])
+    ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    @pl.when(kj == pl.num_programs(1) - 1)
+    def _finalize():
+        out_ref[:] = acc_scr[:] / (ml_scr[:, 1:2] + 1e-30)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "offset_softmax"),
+)
 def _fused_sc_attention_cached_single(
-    q, k, v, compat, geom, block_q=1024, block_k=1024, interpret=False
+    q, k, v, compat, geom, block_q=1024, block_k=1024, interpret=False,
+    offset_softmax=True,
 ):
     n, c = q.shape
     bq, bk = min(block_q, n), min(block_k, n)
     assert n % bq == 0 and n % bk == 0
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        interpret=interpret,
+    )
+    if not interpret:
+        common["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+    tile_specs = [
+        pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
+        pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
+        pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
+        pl.BlockSpec((bq, bk), lambda qi, kj: (qi, kj)),
+        pl.BlockSpec((16, bk), lambda qi, kj: (0, kj)),
+    ]
+    scratch = [
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, c), jnp.float32),
+    ]
+    if offset_softmax:
+        kf = k.astype(jnp.float32)
+        kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1)))
+        kscale = (kmax / (c**0.5)).reshape(1, 1)
+        return pl.pallas_call(
+            _sc_attention_cached_offset_kernel,
+            grid=(n // bq, n // bk),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tile_specs,
+            out_specs=pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
+            scratch_shapes=scratch,
+            **common,
+        )(kscale, q, k, v, compat, geom)
     return pl.pallas_call(
         _sc_attention_cached_kernel,
         grid=(n // bq, n // bk),
-        in_specs=[
-            pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
-            pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
-            pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
-            pl.BlockSpec((bq, bk), lambda qi, kj: (qi, kj)),
-            pl.BlockSpec((16, bk), lambda qi, kj: (0, kj)),
-        ],
+        in_specs=tile_specs,
         out_specs=pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, c), jnp.float32),
-        ],
-        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
-        interpret=interpret,
+        scratch_shapes=scratch,
+        **common,
     )(q, k, v, compat, geom)
 
 
 def fused_sc_attention_cached(
-    q, k, v, compat, src, tgt, mask=None, block_q=1024, block_k=None,
+    q, k, v, compat, src, tgt, mask=None, block_q=None, block_k=None,
     interpret=None, use_bf16=True,
 ):
     """Batched cached-compat fused attention.
@@ -377,19 +494,24 @@ def fused_sc_attention_cached(
     Args:
         compat: [B, N, N] precomputed compatibility (int8 scale-127 or bf16).
         src/tgt/mask: only used to build the key-bias strip.
-        block_k: None = auto — 2048 when the row length divides (fewer
-            online-softmax passes: 23% faster at N=12288, 38% at N=20480
-            with the int8 cache), else 1024.
+        block_q/block_k: None = auto. A 2048 query tile halves the k/v
+            re-streaming (k and v are re-read once per query row of tiles)
+            and measures ~3% faster than 1024x2048 at N=20480; 2048x2048
+            exceeds the ~16 MB VMEM budget with double buffering, so the
+            key tile drops to 1024 alongside it. Only 1-byte caches fit
+            either 2048 tile; bf16/f32 caches keep 1024x1024.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    n = q.shape[1]
+    int8_cache = compat.dtype.itemsize == 1
+    if block_q is None:
+        block_q = 2048 if n % 2048 == 0 and int8_cache else 1024
     if block_k is None:
-        # the 2048 key tile only fits VMEM (with double buffering) for
-        # 1-byte caches; bf16/f32 caches keep the 1024 tile
-        n = q.shape[1]
-        block_k = (
-            2048 if n % 2048 == 0 and compat.dtype.itemsize == 1 else 1024
-        )
+        if block_q >= 2048:
+            block_k = 1024
+        else:
+            block_k = 2048 if n % 2048 == 0 and int8_cache else 1024
     if mask is None:
         geom = jax.vmap(lambda s, t: pack_geometry(s, t, None))(src, tgt)
     else:
@@ -694,16 +816,13 @@ def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=None, block_k=Non
 
     if compat_cache is not None and not trainable:
         # the cached kernel is HBM-streaming-bound: bigger query tiles mean
-        # fewer K/V re-reads and less online-softmax rescale work (tuned on
-        # v5e: 1024x1024 ~20% faster than 512x1024; block_k=None lets the
-        # wrapper pick 2048 when the row length divides)
-        bq = 1024 if block_q is None else block_q
-
+        # fewer K/V re-reads (tuned on v5e; block_q/block_k=None lets the
+        # wrapper pick 2048 tiles where the row length divides)
         def attention_fn(q, k, v, inner_mask):
             del inner_mask
             return fused_sc_attention_cached(
                 q, k, v, compat_cache, src, tgt, mask=mask,
-                block_q=bq, block_k=block_k, interpret=interpret,
+                block_q=block_q, block_k=block_k, interpret=interpret,
             )
 
         return attention_fn

@@ -51,26 +51,44 @@ def pairwise_dists_exact(
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
 
 
-def exact_topk(scores: jnp.ndarray, k: int, chunks: int = 16) -> jnp.ndarray:
+def _leaf_chunks(n: int, k: int) -> int:
+    """Chunk count for the hierarchical exact selection, tuned on v5e.
+
+    Swept on [2048, 20480]/k=40: leaf 1024 is ~1.8x faster than 512 or
+    2048 and ~2x faster than 256 (the per-leaf exact top-k has a fixed
+    overhead that small leaves multiply, while large leaves pay the
+    superlinear sort cost). Short rows keep the smallest exact leaf
+    >= max(2k, 256)."""
+    lo = max(2 * k, 256) if n < 8192 else max(2 * k, 1024)
+    for leaf in range(lo, 8 * lo):
+        if n % leaf == 0 and n // leaf > 1:
+            return n // leaf
+    return 1
+
+
+def exact_topk(scores: jnp.ndarray, k: int) -> jnp.ndarray:
     """Indices of the k LARGEST entries along the last axis — exact, fast.
 
     TPU's exact selection (`lax.top_k` / `approx_max_k(recall_target=1.0)`)
     costs ~1.2 ms on a [512, 5120] matrix — it effectively sorts the whole
-    row. A hierarchical exact selection is ~3.5x faster: exact top-k of
-    each of `chunks` row segments, then exact top-k of the union of chunk
-    winners. The global top-k is a subset of the union of per-chunk top-ks,
-    so the selected VALUES always match a full sort (verified against
-    numpy/`lax.top_k` in tests). Under exact score ties at the k-th value
-    (e.g. duplicated correspondences), the chunked selection may return a
-    different — value-equivalent — subset of the tied indices than
-    `lax.top_k`; callers needing bit-identical tie-breaking should break
-    ties by index before calling.
+    row, and the cost grows superlinearly with row length (15+ ms on
+    [2048, 20480]). A recursive hierarchical exact selection is much
+    faster: exact top-k of each of `chunks` short row segments, then exact
+    top-k of the union of chunk winners (recursing while that union is
+    still long). The global top-k is a subset of the union of per-chunk
+    top-ks, so the selected VALUES always match a full sort (verified
+    against numpy/`lax.top_k` in tests). Under exact score ties at the
+    k-th value (e.g. duplicated correspondences), the chunked selection
+    may return a different — value-equivalent — subset of the tied indices
+    than `lax.top_k`; callers needing bit-identical tie-breaking should
+    break ties by index before calling.
 
     Falls back to the flat reduction when rows are short or not evenly
     chunkable. Returned indices are in descending-score order.
     """
     n = scores.shape[-1]
-    if n < 2048 or n % chunks != 0 or n // chunks < k:
+    chunks = _leaf_chunks(n, k)
+    if n < 2048 or chunks == 1:
         _, idx = jax.lax.approx_max_k(scores, k, recall_target=1.0)
         return idx
     c = n // chunks
@@ -79,7 +97,7 @@ def exact_topk(scores: jnp.ndarray, k: int, chunks: int = 16) -> jnp.ndarray:
     base = (jnp.arange(chunks, dtype=idx.dtype) * c)[:, None]
     gidx = (idx + base).reshape(scores.shape[:-1] + (chunks * k,))
     gvals = vals.reshape(scores.shape[:-1] + (chunks * k,))
-    _, i2 = jax.lax.approx_max_k(gvals, k, recall_target=1.0)
+    i2 = exact_topk(gvals, k)  # recurse: the union can itself be long
     return jnp.take_along_axis(gidx, i2, axis=-1)
 
 

@@ -54,11 +54,18 @@ class TestSeedInlierCounts:
                             fused_attention=False)
         fused = model.apply(variables, *args, testing=True,
                             fused_attention=True)
-        # attention kernels differ at bf16 level; the scoring decision must
-        # agree on which transform wins and what it labels
+        # attention kernels differ at bf16 level; near-tied confidences can
+        # reorder NMS seeds between the paths (an untrained random-init
+        # model has many ties), so compare the fitness MULTISET, the
+        # winning transform, and the labels — not elementwise seed order
         np.testing.assert_allclose(
-            np.asarray(fused.seed_fitness), np.asarray(dense.seed_fitness),
+            np.sort(np.asarray(fused.seed_fitness), axis=-1),
+            np.sort(np.asarray(dense.seed_fitness), axis=-1),
             atol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.final_trans), np.asarray(dense.final_trans),
+            atol=1e-4,
         )
         agree = (
             np.asarray(fused.final_labels) == np.asarray(dense.final_labels)

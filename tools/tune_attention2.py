@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--n", type=int, default=5120)
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--chains", type=int, default=8,
+                    help="scan length multiplier so on-device work dwarfs RTT")
     args = ap.parse_args()
 
     import jax
@@ -65,15 +67,20 @@ def main():
 
     def bench(make_call, tag):
         # all big arrays as explicit args: closed-over constants are
-        # serialized into the remote-compile request (HTTP 413 at 20k)
+        # serialized into the remote-compile request (HTTP 413 at 20k).
+        # Chain layers*chains applications in one scan and fetch ONE
+        # scalar: fetching the [N, C] f32 output (10 MB at 20k) over the
+        # tunnel would dominate the measurement.
+        total = args.layers * args.chains
+
         @jax.jit
         def run(q0, kk_, vv_, compat_, geom_):
             def layer(x, _):
                 out = make_call(x, kk_, vv_, compat_, geom_)
                 return out.astype(x.dtype), None
 
-            x, _ = jax.lax.scan(layer, q0, None, length=args.layers)
-            return x
+            x, _ = jax.lax.scan(layer, q0, None, length=total)
+            return x.sum()
 
         try:
             np.asarray(run(qb, kb, vb, compat, geom))
@@ -87,8 +94,8 @@ def main():
             np.asarray(run(qb, kb, vb, compat, geom))
             ts.append(time.perf_counter() - t0)
         ms = (np.median(ts) - np.median(rs)) * 1000
-        print(f"{tag}: {ms:.3f} ms / {args.layers} layers "
-              f"({ms / args.layers:.3f} ms/layer)")
+        print(f"{tag}: {ms:.3f} ms / {total} applications "
+              f"({ms / total:.3f} ms/layer)")
 
     for bq, bk in [(1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048),
                    (4096, 1024), (1024, 4096)]:
