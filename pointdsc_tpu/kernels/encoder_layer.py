@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # h (f32) + q/k/v (bf16) VMEM scratch = N * C * 10 bytes; with tile
 # buffers and softmax scratch the budget tops out around N ~ 6k on a
-# 16 MB-VMEM core
+# 16 MB-VMEM core. Larger N uses the SPLIT pair of kernels below
+# (PointCN+QKV one pass -> HBM; attention+MLP+residual one pass), which
+# streams k/v per query row instead of pinning them in VMEM.
 MAX_FUSED_LAYER_N = 6144
 
 
@@ -236,6 +238,199 @@ def _fused_layer_single(
     )
 
 
+def _pcn_qkv_kernel(
+    x_ref,  # (bt, c_in) f32
+    w1_ref, b1_ref,  # (c_in, c), (1, c)  [BN folded]
+    wqkv_ref, bqkv_ref,  # (c, 3c), (1, 3c)
+    h_ref,  # (bt, c) f32 out
+    q_ref, k_ref, v_ref,  # (bt, c) bf16 out
+):
+    """Split-layer phase A: PointCN (BN folded) + fused QKV projection in
+    one pass over the row tiles. h stays f32 (it is the residual trunk);
+    q/k/v are written bf16 for the attention stream."""
+    f32 = jnp.float32
+    c = w1_ref.shape[1]
+    h = jnp.maximum(
+        jax.lax.dot_general(
+            x_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + b1_ref[:],
+        0.0,
+    )
+    h_ref[:] = h
+    qkv = (
+        jax.lax.dot_general(
+            h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bqkv_ref[:]
+    )
+    q_ref[:] = qkv[:, 0:c].astype(jnp.bfloat16)
+    k_ref[:] = qkv[:, c:2 * c].astype(jnp.bfloat16)
+    v_ref[:] = qkv[:, 2 * c:3 * c].astype(jnp.bfloat16)
+
+
+def _make_attn_mlp_kernel(c, has_bias, n_k):
+    scale = 1.0 / (c**0.5) / 127.0  # qk scale with the int8 decode folded in
+
+    def kernel(
+        kscale_ref,  # SMEM (1, 1): max_j ||k_j|| / sqrt(c) (offset softmax)
+        q_ref,  # (bq, c) bf16
+        k_ref, v_ref,  # (bk, c) bf16
+        compat_ref,  # (bq, bk) int8
+        kbias_ref,  # (8, bk) f32 (row 0 = key bias; only read if has_bias)
+        h_ref,  # (bq, c) f32: residual trunk tile
+        wm0_ref, bm0_ref,  # (c, c//2), (1, c//2)  [BN folded]
+        wm1_ref, bm1_ref,  # (c//2, c//2), (1, c//2)  [BN folded]
+        wm2_ref, bm2_ref,  # (c//2, c), (1, c)
+        out_ref,  # (bq, c) f32
+        ml_scr,  # (bq, 128) f32: col 0 = per-row offset, col 1 = sumexp
+        acc_scr,  # (bq, c) f32
+    ):
+        """Split-layer phase B: cached-compat offset-softmax attention with
+        the message MLP + residual fused into the last-key-tile epilogue.
+        Same math as the monolithic kernel above; h/q/k/v stream from HBM
+        (written by phase A) instead of VMEM scratch, so N is unbounded."""
+        j = pl.program_id(1)
+        f32 = jnp.float32
+
+        @pl.when(j == 0)
+        def _init():
+            qf = q_ref[:].astype(f32)
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
+            ml_scr[:, 0:1] = qn * kscale_ref[0, 0]
+            ml_scr[:, 1:2] = jnp.zeros_like(ml_scr[:, 1:2])
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        logits = jax.lax.dot_general(
+            q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * scale
+        s = compat_ref[:].astype(f32) * logits
+        if has_bias:
+            s = s + kbias_ref[0:1, :]
+        p = jnp.exp(s - ml_scr[:, 0:1])
+        ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] += jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+        @pl.when(j == n_k - 1)
+        def _epilogue():
+            o = acc_scr[:] / (ml_scr[:, 1:2] + 1e-30)
+            msg = jnp.maximum(
+                jax.lax.dot_general(
+                    o, wm0_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                + bm0_ref[:],
+                0.0,
+            )
+            msg = jnp.maximum(
+                jax.lax.dot_general(
+                    msg, wm1_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                + bm1_ref[:],
+                0.0,
+            )
+            msg = (
+                jax.lax.dot_general(
+                    msg, wm2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                + bm2_ref[:]
+            )
+            out_ref[:] = h_ref[:] + msg
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "has_bias", "interpret")
+)
+def _fused_layer_split_single(
+    x, compat, kbias, weights, block_q=1024, block_k=2048, has_bias=False,
+    interpret=False,
+):
+    """Large-N whole-layer fusion as TWO pallas_calls (see module docstring).
+
+    Per-layer HBM traffic: x read + h/q/k/v write+read (q/h once, k/v once
+    per query row of tiles) + the compat stream + out write — the ~10
+    per-op XLA round-trips of the unfused path collapse into two passes.
+    """
+    n, c = x.shape
+    bq, bk = min(block_q, n), min(block_k, n)
+    while n % bq:
+        bq //= 2
+    while n % bk:
+        bk //= 2
+    (w1, b1, wqkv, bqkv, wm0, bm0, wm1, bm1, wm2, bm2) = weights
+
+    def row2(v):
+        return v.reshape(1, -1)
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda *_: (0,) * arr.ndim)
+    bt = bk  # phase-A row tile
+    h, q, k, v = pl.pallas_call(
+        _pcn_qkv_kernel,
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, c), lambda i: (i, 0)),
+            full(w1), pl.BlockSpec((1, c), lambda i: (0, 0)),
+            full(wqkv), pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((bt, c), lambda i: (i, 0))] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n, c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n, c), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x, w1, row2(b1), wqkv, row2(bqkv))
+
+    kf = k.astype(jnp.float32)
+    kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1)))
+    kscale = (kmax * (1.0 / (c**0.5))).reshape(1, 1)
+
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+    kernel = _make_attn_mlp_kernel(c, has_bias, n // bk)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bq, n // bk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
+            pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
+            pl.BlockSpec((bk, c), lambda qi, kj: (kj, 0)),
+            pl.BlockSpec((bq, bk), lambda qi, kj: (qi, kj)),
+            pl.BlockSpec((8, bk), lambda qi, kj: (0, kj)),
+            pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
+            full(wm0), pl.BlockSpec((1, c // 2), lambda qi, kj: (0, 0)),
+            full(wm1), pl.BlockSpec((1, c // 2), lambda qi, kj: (0, 0)),
+            full(wm2), pl.BlockSpec((1, c), lambda qi, kj: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, c), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        **kw,
+        interpret=interpret,
+    )(
+        kscale, q, k, v, compat, kbias, h,
+        wm0, row2(bm0), wm1, row2(bm1), wm2, row2(bm2),
+    )
+
+
 def make_fused_layer_fn(compat_cache, mask=None, interpret=None):
     """Build the per-layer hook consumed by NonLocalNet's fused-layer path.
 
@@ -276,9 +471,11 @@ def make_fused_layer_fn(compat_cache, mask=None, interpret=None):
             w.astype(jnp.float32)
             for w in (w1f, b1f, wqkv, bqkv, wm0f, bm0f, wm1f, bm1f, wm2, bm2_)
         )
-        fn = functools.partial(
-            _fused_layer_single, has_bias=has_bias, interpret=interpret
+        single = (
+            _fused_layer_single if n <= MAX_FUSED_LAYER_N
+            else _fused_layer_split_single
         )
+        fn = functools.partial(single, has_bias=has_bias, interpret=interpret)
         return jax.vmap(lambda xx, cc, bb: fn(xx, cc, bb, weights))(
             x.astype(jnp.float32), compat_cache, kbias
         )

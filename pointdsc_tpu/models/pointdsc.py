@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from pointdsc_tpu.kernels.encoder_layer import MAX_FUSED_LAYER_N as _MAX_FUSED_LAYER_N
 from pointdsc_tpu.models.blocks import NonLocalNet
 from pointdsc_tpu.ops.compatibility import spatial_consistency, feature_similarity
 from pointdsc_tpu.ops.eig import power_iteration
@@ -84,6 +83,10 @@ class PointDSC(nn.Module):
         SM loss with the fused Pallas kernel from (normed_features, sigma)
         returned in the output (config.fused_sm_loss)."""
         bs, num_corr = corr_pos.shape[0], corr_pos.shape[1]
+        # the original argument (None = "all valid, statically"): the fused
+        # kernels then skip the key-bias stream and its per-element add
+        # entirely instead of adding an all-zero row
+        mask_arg = mask
         if mask is None:
             mask = jnp.ones((bs, num_corr), dtype=bool)
 
@@ -118,13 +121,13 @@ class PointDSC(nn.Module):
                     jax.lax.stop_gradient(src_keypts),
                     jax.lax.stop_gradient(tgt_keypts),
                     self.sigma_d,
-                    mask=mask,
+                    mask=mask_arg,
                 )
             attention_fn = make_sc_attention_fn(
                 jax.lax.stop_gradient(src_keypts),
                 jax.lax.stop_gradient(tgt_keypts),
                 self.sigma_d,
-                mask=mask,
+                mask=mask_arg,
                 trainable=train,  # custom-VJP kernels when gradients flow
                 compat_cache=compat_cache,
             )
@@ -132,22 +135,22 @@ class PointDSC(nn.Module):
             src_dist = None  # NMS runs its own fused kernel; no [N,N] in HBM
 
             # Whole-layer fusion (kernels/encoder_layer.py): each
-            # PointCN+NonLocal pair is ONE kernel — PointCN, QKV, cached
-            # attention, message MLP and residual never leave VMEM. Gated
-            # to eval (BN folding needs running stats), the int8 cache
-            # path, f32 activations, and N small enough that q/k/v/h for
-            # the whole pair fit VMEM.
+            # PointCN+NonLocal pair is ONE kernel (two below
+            # MAX_FUSED_LAYER_N, where q/k/v/h stay VMEM-resident; a
+            # PointCN+QKV pass plus an attention+MLP+residual pass above
+            # it) — activations make at most two HBM round-trips per
+            # layer. Gated to eval (BN folding needs running stats), the
+            # int8 cache path, and f32 activations.
             if (
                 compat_cache is not None
                 and not self.half_precision
                 and not self.remat
-                and num_corr <= _MAX_FUSED_LAYER_N
             ):
                 from pointdsc_tpu.kernels.encoder_layer import (
                     make_fused_layer_fn,
                 )
 
-                fused_layer_fn = make_fused_layer_fn(compat_cache, mask=mask)
+                fused_layer_fn = make_fused_layer_fn(compat_cache, mask=mask_arg)
         else:
             compat, src_dist = jax.lax.stop_gradient(
                 spatial_consistency(

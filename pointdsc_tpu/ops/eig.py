@@ -47,25 +47,29 @@ def power_iteration(
         v = jax.lax.fori_loop(0, num_iters, body, v0)
         return v[..., 0]
 
-    # Small matrices (the NSM's k x k neighborhoods): per-step normalization
-    # only rescales — the direction after k steps is exactly M^k v0 — so the
-    # k sequential matvecs collapse to binary exponentiation: log2(k)
-    # batched squarings + popcount(k) matvecs (5 matmul ops instead of 10
-    # serialized matvec kernels for k = 10). Each intermediate is rescaled
-    # to unit Frobenius/L2 to prevent overflow; scaling never changes the
-    # returned direction.
-    v = v0
-    P = M
-    k = num_iters
-    while k > 0:
-        if k & 1:
-            v = _unit(P @ v)
-        k >>= 1
-        if k > 0:
-            P = P @ P
-            pnorm = jnp.sqrt(jnp.sum(P * P, axis=(-1, -2), keepdims=True) + 1e-30)
-            P = P / pnorm
-    return v[..., 0]
+    # Small matrices (the NSM's k x k neighborhoods, batched over all
+    # seeds): a batched [B, n, n] dot pads the n=40 lane axis to 128 and
+    # runs the MXU at ~3% utilization — measured 3.5 ms for 10 iterations
+    # on [2048, 40, 40] (the dominant cost of the whole NSM mid-section at
+    # N = 20480). Moving the BATCH onto the lane axis makes each matvec an
+    # elementwise multiply + an n-long sublane reduction in a perfectly
+    # tiled [n, n, B] layout — pure VPU, no padding, ~0.2 ms for the same
+    # problem. (This replaces the round-2 binary-exponentiation squaring
+    # trick, whose [B, n, n] squarings paid the same padded-lane tax.)
+    bshape = M.shape[:-2]
+    b = 1
+    for d in bshape:
+        b *= d
+    Mt = jnp.moveaxis(M.reshape((b,) + M.shape[-2:]), 0, -1)  # [n, n, B]
+    v = jnp.ones((1, n, b), dtype=M.dtype)
+
+    def body(_, v):
+        w = jnp.sum(Mt * v, axis=1)  # [n, B]: w_i = sum_j M_ij v_j
+        norm = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True) + 1e-30)
+        return (w / (norm + eps))[None]  # [1, n, B], broadcastable vs Mt
+
+    v = jax.lax.fori_loop(0, num_iters, body, v)
+    return jnp.moveaxis(v[0], -1, 0).reshape(bshape + (n,))
 
 
 def rayleigh_quotient(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

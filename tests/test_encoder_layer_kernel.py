@@ -47,8 +47,15 @@ def setup(rng, n=256, c=64, layers=2, in_dim=6):
 
 
 @pytest.mark.parametrize("masked", [False, True])
-def test_fused_layer_matches_per_op_path(rng, masked):
+@pytest.mark.parametrize("split", [False, True])
+def test_fused_layer_matches_per_op_path(rng, masked, split, monkeypatch):
     n = 256
+    if split:
+        # force the large-N two-kernel path (PointCN+QKV pass, then
+        # attention+MLP+residual pass) at a testable size
+        import pointdsc_tpu.kernels.encoder_layer as el
+
+        monkeypatch.setattr(el, "MAX_FUSED_LAYER_N", 0)
     enc, variables, corr, src, tgt = setup(rng, n=n)
     mask = None
     if masked:
