@@ -352,7 +352,7 @@ def _make_attn_mlp_kernel(c, has_bias, n_k):
     jax.jit, static_argnames=("block_q", "block_k", "has_bias", "interpret")
 )
 def _fused_layer_split_single(
-    x, compat, kbias, weights, block_q=1024, block_k=2048, has_bias=False,
+    x, compat, kbias, weights, block_q=2048, block_k=1024, has_bias=False,
     interpret=False,
 ):
     """Large-N whole-layer fusion as TWO pallas_calls (see module docstring).
@@ -360,6 +360,10 @@ def _fused_layer_split_single(
     Per-layer HBM traffic: x read + h/q/k/v write+read (q/h once, k/v once
     per query row of tiles) + the compat stream + out write — the ~10
     per-op XLA round-trips of the unfused path collapse into two passes.
+
+    Tiles swept on v5e at N=20480 (tools/tune_layer_split.py): 2048x1024 =
+    0.865 ms/layer vs 0.990 for 1024x1024 (bigger query tiles halve the
+    k/v re-streaming); 2048x2048 exceeds VMEM.
     """
     n, c = x.shape
     bq, bk = min(block_q, n), min(block_k, n)

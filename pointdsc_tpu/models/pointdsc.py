@@ -31,6 +31,10 @@ from pointdsc_tpu.ops.nms import pick_seeds_nms, pick_seeds_topk
 from pointdsc_tpu.ops.procrustes import weighted_procrustes
 from pointdsc_tpu.ops.se3 import transform
 
+# below this size the XLA sort-based exact selection is already sub-ms and
+# the fused kernel's fixed overheads do not pay (swept on v5e)
+_SEED_KNN_FUSED_MIN_N = 4096
+
 
 class PointDSCOutput(NamedTuple):
     """Forward results (mirrors the reference output dict, PointDSC.py:192-196)."""
@@ -287,20 +291,38 @@ class PointDSC(nn.Module):
         # ever used, so restricting the distance computation and top-k to
         # those rows is mathematically identical and removes the dominant
         # cost of the pipeline (top-k over N rows of length N).
-        seed_feats = jnp.take_along_axis(
-            corr_features, seeds[:, :, None], axis=1
-        )  # [B, S, C]
-        seed_dist = 2.0 - 2.0 * jnp.einsum(
-            "bsc,bnc->bsn", seed_feats, corr_features
-        )  # normalized features
-        cols = jnp.arange(num_corr)[None, None, :]
-        seed_dist = jnp.where(cols == seeds[:, :, None], 1e9, seed_dist)  # no self
-        seed_dist = jnp.where(mask[:, None, :], seed_dist, 1e9)
         if self.approx_knn:
             # hardware-accelerated approximate top-k: the NSM spectral
-            # weighting is robust to a ~5% neighbor recall loss
+            # weighting is robust to a ~5% neighbor recall loss. XLA fuses
+            # the distance einsum into the partial-reduce, so no [S, N]
+            # matrix is ever materialized on this path.
+            seed_feats = jnp.take_along_axis(
+                corr_features, seeds[:, :, None], axis=1
+            )  # [B, S, C]
+            seed_dist = 2.0 - 2.0 * jnp.einsum(
+                "bsc,bnc->bsn", seed_feats, corr_features
+            )  # normalized features
+            cols = jnp.arange(num_corr)[None, None, :]
+            seed_dist = jnp.where(cols == seeds[:, :, None], 1e9, seed_dist)
+            seed_dist = jnp.where(mask[:, None, :], seed_dist, 1e9)
             _, knn_idx = jax.lax.approx_max_k(-seed_dist, k, recall_target=0.95)
+        elif fused and num_corr >= _SEED_KNN_FUSED_MIN_N:
+            # fused EXACT selection (kernels/seed_knn.py): similarity tile
+            # on the MXU + in-VMEM per-chunk top-k; the sort-based path
+            # below costs ~10 ms at S=2048/N=20480, this ~2 ms
+            from pointdsc_tpu.kernels.seed_knn import seed_knn_exact
+
+            knn_idx = seed_knn_exact(corr_features, seeds, k, mask=mask)
         else:
+            seed_feats = jnp.take_along_axis(
+                corr_features, seeds[:, :, None], axis=1
+            )  # [B, S, C]
+            seed_dist = 2.0 - 2.0 * jnp.einsum(
+                "bsc,bnc->bsn", seed_feats, corr_features
+            )
+            cols = jnp.arange(num_corr)[None, None, :]
+            seed_dist = jnp.where(cols == seeds[:, :, None], 1e9, seed_dist)
+            seed_dist = jnp.where(mask[:, None, :], seed_dist, 1e9)
             # hierarchical EXACT selection (ops/knn.py::exact_topk):
             # value-equivalent to a full sort (index set identical except
             # under exact distance ties), ~3.5x cheaper than the flat
