@@ -177,12 +177,18 @@ class _DenseParams(nn.Module):
 
     @nn.compact
     def __call__(self):
+        # dtype pinned: under jax_enable_x64 (the test suite's default for
+        # LAPACK-parity assertions) a dtype-less initializer returns f64,
+        # silently promoting every downstream matmul
         kernel = self.param(
             "kernel",
             nn.initializers.xavier_normal(),
             (self.in_features, self.features),
+            jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
         return kernel, bias
 
 
