@@ -143,7 +143,7 @@ def _make_kernel(n, c, bq, bk, has_bias, n_k):
             if has_bias:
                 s = s + kbias_ref[0:1, :]
 
-            p = jnp.exp(s - ml_scr[:, 0:1])
+            p = jnp.exp(jnp.maximum(s - ml_scr[:, 0:1], -80.0))
             ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
@@ -310,7 +310,7 @@ def _make_attn_mlp_kernel(c, has_bias, n_k):
         s = compat_ref[:].astype(f32) * logits
         if has_bias:
             s = s + kbias_ref[0:1, :]
-        p = jnp.exp(s - ml_scr[:, 0:1])
+        p = jnp.exp(jnp.maximum(s - ml_scr[:, 0:1], -80.0))
         ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] += jax.lax.dot_general(
             p.astype(jnp.bfloat16), v_ref[:], (((1,), (0,)), ((), ())),

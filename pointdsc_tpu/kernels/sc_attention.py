@@ -392,10 +392,18 @@ def _sc_attention_cached_offset_kernel(
     so the per-tile running-max reduction, the alpha rescale of the
     accumulator, and the m bookkeeping of the flash formulation all drop
     out — ~27% of the kernel's time at N=20480 (the exp itself is cheap on
-    the VPU's transcendental unit; the max pass is not). Cauchy-Schwarz
-    slack for BN'd activations is a few units of exponent, orders below
-    f32's e^-80 precision cliff. Eval-only (the trainable kernels keep the
-    running max: mid-training activations carry no norm guarantees)."""
+    the VPU's transcendental unit; the max pass is not).
+
+    Validity regime: exact to f32 resolution while the bound's slack
+    o - max_j s stays under ~80 nats — for BN'd activations the slack is
+    a few nats. The exponent is floored at -80: in regime the floor only
+    touches entries whose true softmax weight is <= e^-80 relative to the
+    bound (invisible at f32's 1e-7 resolution); out of regime (norms
+    orders beyond anything a BN'd encoder emits) rows degrade smoothly
+    toward uniform attention instead of underflowing to 0/0 (asserted in
+    tests/test_cached_attention.py::test_offset_softmax_extreme_norms).
+    Eval-only (the trainable kernels keep the running max: mid-training
+    activations carry no norm guarantees)."""
     kj = pl.program_id(1)
     f32 = jnp.float32
 
@@ -421,7 +429,7 @@ def _sc_attention_cached_offset_kernel(
         q_ref[:], k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=f32
     ) * qk_scale
     s = compat * logits + bias_k
-    p = jnp.exp(s - ml_scr[:, 0:1])
+    p = jnp.exp(jnp.maximum(s - ml_scr[:, 0:1], -80.0))
     ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] += jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),

@@ -29,6 +29,37 @@ def test_cached_kernel_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_offset_softmax_extreme_norms(rng):
+    """Offset-softmax validity regime (see the kernel docstring).
+
+    scale=3 puts the Cauchy-Schwarz bound around ~50 nats with slack well
+    under the e^-80 floor: the kernel must agree with the dense softmax
+    (a naive exp(s) without the offset could already overflow here for
+    adversarial rows). scale=30 is far out of regime (slack in the
+    thousands of nats): weights legitimately degrade toward uniform, but
+    the output must remain FINITE — never the 0/0 rows a floorless
+    offset underflow would produce."""
+    b, n, c = 1, 256, 32
+    src = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    tgt = src + jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 0.05
+    compat = spatial_consistency(src, tgt, 0.1)
+    v = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+
+    for scale, check_values in [(3.0, True), (30.0, False)]:
+        q = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32)) * scale
+        k = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32)) * scale
+        out = np.asarray(fused_sc_attention_cached(
+            q, k, v, compat, src, tgt, block_q=128, block_k=128,
+            interpret=True,
+        ))
+        assert np.isfinite(out).all(), f"non-finite at scale {scale}"
+        if check_values:
+            ref = np.asarray(dense_reference(q, k, v, src, tgt, 0.1))
+            # bf16 streams dominate the error; the offset itself is exact
+            np.testing.assert_allclose(out, ref,
+                                       atol=2e-2 * float(np.abs(ref).max()))
+
+
 def test_cached_model_forward_matches_dense(rng):
     model = PointDSC(in_dim=6, num_layers=2, num_channels=32, k=16, ratio=0.1)
     cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=256, inlier_ratio=0.6)
