@@ -100,6 +100,13 @@ def _scoring_single(tr, pts, thr, block_s=512, block_n=2048, interpret=False):
     while n % bn != 0:
         bn //= 2
     thr_arr = jnp.asarray(thr, jnp.float32).reshape(1, 1)
+    kw = {}
+    if not interpret:
+        # seed tiles are independent; only the point axis carries the
+        # running count
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
     out = pl.pallas_call(
         _scoring_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -114,6 +121,7 @@ def _scoring_single(tr, pts, thr, block_s=512, block_n=2048, interpret=False):
             scratch_shapes=[pltpu.VMEM((bs_, 128), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((s, 128), jnp.float32),
+        **kw,
         interpret=interpret,
     )(thr_arr, tr, pts)
     return out[:, 0]
