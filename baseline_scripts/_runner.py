@@ -64,6 +64,7 @@ def run_baseline(dataset, scene_list, scene_of, args, sm_top_ratio=0.1,
             trans, labels = gc_ransac_registration(
                 src, tgt, sub, args.inlier_threshold,
                 num_hypotheses=args.max_iteration,
+                minimizer=getattr(args, "gc_minimizer", "icm"),
             )
         elif args.method == "LS":
             trans, labels = least_squares_fit(

@@ -33,6 +33,11 @@ def main(argv=None):
     parser.add_argument("--num_node", default=2048, type=int)
     parser.add_argument("--inlier_threshold", default=0.10, type=float)
     parser.add_argument("--max_iteration", default=4096, type=int)
+    parser.add_argument(
+        "--gc_minimizer", default="icm", choices=["icm", "exact"],
+        help="GCRANSAC labeling: device ICM sweeps or the exact native "
+        "s-t mincut (native/maxflow.cpp, matches pygcransac's graph cut)",
+    )
     parser.add_argument("--re_thre", default=15.0, type=float)
     parser.add_argument("--te_thre", default=30.0, type=float)
     parser.add_argument("--save_npy", default=False, type=str2bool)

@@ -170,8 +170,42 @@ def coherence_icm(r2, nbr, nbr_valid, mask, lam, icm_sweeps=10):
     return unary_E + pair_E, L
 
 
+def coherence_mincut(r2, nbr, nbr_valid, mask, lam):
+    """Exact global minimum of the same coherence energy as `coherence_icm`
+    (identical semantics: lam/2 per *directed* kNN edge, masked nodes forced
+    to outlier with zero unary cost), via the native s-t mincut
+    (native/maxflow.cpp, Dinic) — the energy is binary submodular (Potts), so
+    the cut is the true optimum, matching pygcransac's graph-cut step
+    (reference baseline_3DMatch.py:101-123). Host-side numpy; used to verify
+    ICM and as the `minimizer="exact"` path of gc_ransac_registration.
+
+    Returns (energy [B] f32, labels [B, N] bool)."""
+    from pointdsc_tpu.native import mincut_labels
+
+    r2 = np.asarray(r2, np.float64)
+    nbr = np.asarray(nbr)
+    nv = np.asarray(nbr_valid)
+    mk = np.asarray(mask)
+    bsz, n = r2.shape
+    energies = np.zeros(bsz, np.float32)
+    labels = np.zeros((bsz, n), bool)
+    c_in_all = np.minimum(r2, 1.0)
+    c_out_all = np.maximum(1.0 - r2, 0.0)
+    ii = np.repeat(np.arange(n, dtype=np.int32), nbr.shape[-1])
+    for bidx in range(bsz):
+        jj = nbr[bidx].reshape(-1).astype(np.int32)
+        keep = nv[bidx].reshape(-1)
+        w = np.full(int(keep.sum()), lam * 0.5)
+        c_in = np.where(mk[bidx], c_in_all[bidx], np.inf)
+        c_out = np.where(mk[bidx], c_out_all[bidx], 0.0)
+        e, lab = mincut_labels(ii[keep], jj[keep], w, c_in, c_out, n)
+        energies[bidx] = e
+        labels[bidx] = lab
+    return energies, labels
+
+
 @partial(jax.jit, static_argnames=(
-    "num_hypotheses", "lo_iters", "icm_sweeps", "knn_k"
+    "num_hypotheses", "lo_iters", "icm_sweeps", "knn_k", "minimizer"
 ))
 def gc_ransac_registration(
     src_keypts: jnp.ndarray,  # [B, N, 3]
@@ -184,6 +218,7 @@ def gc_ransac_registration(
     icm_sweeps: int = 10,
     knn_k: int = 8,
     mask: jnp.ndarray | None = None,
+    minimizer: str = "icm",
 ):
     """Graph-Cut RANSAC, TPU-native (reference baseline_3DMatch.py:101-123
     calls `pygcransac.findRigidTransform` with spatial_coherence_weight=0.1).
@@ -201,19 +236,26 @@ def gc_ransac_registration(
 
     over the k-NN graph of the source keypoints, followed by a weighted
     re-fit on the labeling; repeated `lo_iters` times, keeping the best
-    energy. The binary submodular cut is solved by parallel ICM sweeps
-    (Jacobi label updates, `coherence_icm`) instead of an s-t mincut — a
-    device-friendly local minimizer of the same energy. Measured against
-    exhaustive minimization on small random instances at the reference's
-    lambda=0.1 (tests/test_baselines.py::TestCoherenceICMvsExact): exact
-    minimum on 100/100 bimodal-residual instances (the regime RANSAC
-    hypotheses produce), 83/100 with residuals adversarially straddling
-    the threshold (energy within 8% of optimal on the rest); it is not an
-    exact graph cut.
+    energy. Two minimizers for the binary submodular cut:
+
+    - minimizer="icm" (default): parallel ICM sweeps (Jacobi label updates,
+      `coherence_icm`) — a device-friendly local minimizer that stays
+      inside the jitted program. Measured against the exact minimum at the
+      reference's lambda=0.1 (tests/test_baselines.py): exact on 100/100
+      bimodal-residual instances (the regime RANSAC hypotheses produce),
+      83/100 with residuals adversarially straddling the threshold (energy
+      within 8% of optimal on the rest).
+    - minimizer="exact": a true s-t mincut (`coherence_mincut`, native
+      Dinic maxflow in native/maxflow.cpp) reached through
+      `jax.pure_callback` — the global optimum of the energy, matching the
+      graph-cut inside the reference's pygcransac, at the cost of one host
+      round-trip per LO iteration.
 
     If pygcransac ever lands in the environment,
     `gc_ransac_registration_pygc` wraps it with the same signature.
     """
+    if minimizer not in ("icm", "exact"):
+        raise ValueError(f"minimizer must be 'icm' or 'exact', got {minimizer}")
     b, n, _ = src_keypts.shape
     if mask is None:
         mask = jnp.ones((b, n), dtype=bool)
@@ -243,6 +285,17 @@ def gc_ransac_registration(
     def energy_and_labels(trans):
         warped = transform(src_keypts, trans)
         r2 = jnp.sum((warped - tgt_keypts) ** 2, axis=-1) / tau2
+        if minimizer == "exact":
+            return jax.pure_callback(
+                lambda r2_, nbr_, nv_, mk_: coherence_mincut(
+                    r2_, nbr_, nv_, mk_, lam
+                ),
+                (
+                    jax.ShapeDtypeStruct((b,), jnp.float32),
+                    jax.ShapeDtypeStruct((b, n), jnp.bool_),
+                ),
+                r2, nbr, nbr_valid, mask,
+            )
         return coherence_icm(r2, nbr, nbr_valid, mask, lam, icm_sweeps)
 
     def lo_step(carry, _):

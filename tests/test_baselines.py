@@ -235,3 +235,113 @@ class TestCoherenceICMvsExact:
         assert agree >= 20, f"only {agree}/30 exact even adversarially"
         assert ratios.min() >= 1.0 - 1e-6  # never below the true minimum
         assert ratios.max() <= 1.10, f"worst energy ratio {ratios.max():.3f}"
+
+
+class TestCoherenceMincut:
+    """The native exact s-t mincut (native/maxflow.cpp) — GC-RANSAC's
+    `minimizer="exact"` path. The reference's pygcransac performs this cut
+    internally (baseline_scripts/baseline_3DMatch.py:101-123)."""
+
+    LAM = 0.1
+
+    def test_matches_exhaustive_enumeration(self):
+        """The cut's energy and labeling equal brute-force minimization of
+        the SAME energy formula the ICM tests enumerate (N=12, all 2^N)."""
+        import itertools
+
+        from pointdsc_tpu.baselines.classical import coherence_mincut
+
+        rng = np.random.default_rng(7)
+        n, k = 12, 4
+        for _ in range(20):
+            r2 = rng.uniform(0.0, 2.0, n) ** 2
+            pts = rng.normal(size=(n, 3))
+            d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+            d += np.eye(n) * 1e9
+            nbr = np.argsort(d, axis=1)[:, :k]
+            nv = np.ones((n, k), bool)
+            e_cut, l_cut = coherence_mincut(
+                r2[None], nbr[None], nv[None], np.ones((1, n), bool), self.LAM
+            )
+            c_in = np.minimum(r2, 1.0)
+            c_out = np.maximum(1.0 - r2, 0.0)
+            best_e = np.inf
+            for bits in itertools.product([0, 1], repeat=n):
+                lab = np.array(bits, float)
+                e = np.sum(lab * c_in + (1 - lab) * c_out) + (
+                    self.LAM * 0.5
+                ) * np.sum(np.abs(lab[:, None] - lab[nbr]) * nv)
+                best_e = min(best_e, e)
+            got = np.sum(
+                np.where(l_cut[0], c_in, c_out)
+            ) + (self.LAM * 0.5) * np.sum(
+                np.abs(l_cut[0][:, None].astype(float) - l_cut[0][nbr]) * nv
+            )
+            assert abs(e_cut[0] - best_e) < 1e-6, (e_cut[0], best_e)
+            assert abs(got - best_e) < 1e-6  # returned labels attain it
+
+    def test_lower_bounds_icm_at_scale(self):
+        """At N=400 (beyond enumeration): the exact cut's energy is never
+        above ICM's, and ICM stays within 10% — the large-instance version
+        of the ICM-approximation claim."""
+        from pointdsc_tpu.baselines.classical import (
+            coherence_icm,
+            coherence_mincut,
+        )
+
+        rng = np.random.default_rng(11)
+        n, k = 400, 8
+        for regime in ("bimodal", "uniform"):
+            if regime == "bimodal":
+                inl = rng.random(n) < 0.4
+                r = np.where(inl, rng.uniform(0, 0.5, n), rng.uniform(1.5, 4.0, n))
+            else:
+                r = rng.uniform(0.0, 2.0, n)
+            r2 = r**2
+            pts = rng.normal(size=(n, 3))
+            d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+            d += np.eye(n) * 1e9
+            nbr = np.argsort(d, axis=1)[:, :k]
+            nv = np.ones((n, k), bool)
+            mask = np.ones((1, n), bool)
+            e_cut, _ = coherence_mincut(r2[None], nbr[None], nv[None], mask,
+                                        self.LAM)
+            e_icm, _ = coherence_icm(
+                jnp.asarray(r2[None]), jnp.asarray(nbr[None]),
+                jnp.asarray(nv[None]), jnp.asarray(mask), self.LAM,
+            )
+            assert e_cut[0] <= float(e_icm[0]) + 1e-5, regime
+            assert float(e_icm[0]) <= e_cut[0] * 1.10, regime
+
+    def test_gc_ransac_exact_minimizer_recovers(self, rng):
+        """gc_ransac_registration(minimizer='exact') routes the labeling
+        through the native cut (jax.pure_callback) and still recovers the
+        planted transform with a high-quality labeling."""
+        from pointdsc_tpu.baselines import gc_ransac_registration
+        from pointdsc_tpu.data import transforms_np as T
+
+        n = 300
+        src = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+        gt = T.integrate_trans(T.rotation_matrix(3, 0.5, rng),
+                               T.translation_matrix(0.3, rng))
+        inl = rng.random(n) < 0.3
+        tgt = np.where(
+            inl[:, None],
+            T.transform(src, gt) + rng.normal(size=(n, 3)) * 0.005,
+            rng.uniform(-1.0, 1.0, (n, 3)),
+        ).astype(np.float32)
+
+        trans, labels = gc_ransac_registration(
+            jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+            jax.random.key(3), inlier_threshold=0.10, num_hypotheses=2048,
+            minimizer="exact",
+        )
+        trans = np.asarray(trans)[0]
+        re = np.degrees(np.arccos(np.clip(
+            (np.trace(trans[:3, :3].T @ gt[:3, :3]) - 1) / 2, -1, 1)))
+        te = np.linalg.norm(trans[:3, 3] - gt[:3, 3])
+        assert re < 2.0 and te < 0.05, (re, te)
+        lab = np.asarray(labels)[0] > 0
+        recall = (lab & inl).sum() / max(inl.sum(), 1)
+        precision = (lab & inl).sum() / max(lab.sum(), 1)
+        assert recall > 0.8 and precision > 0.8, (recall, precision)
