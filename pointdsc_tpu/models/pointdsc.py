@@ -81,11 +81,17 @@ class PointDSC(nn.Module):
         train: bool = False,
         fused_attention: bool = False,
         skip_M: bool = False,
+        precomputed_features: jnp.ndarray | None = None,
     ) -> PointDSCOutput:
         """skip_M=True suppresses materializing the [B, N, N] feature
         similarity matrix in training mode; the trainer then computes the
         SM loss with the fused Pallas kernel from (normed_features, sigma)
-        returned in the output (config.fused_sm_loss)."""
+        returned in the output (config.fused_sm_loss).
+
+        precomputed_features lets a caller substitute externally computed
+        encoder output [B, N, C] — the sequence-parallel path
+        (parallel/seq_parallel.py) row-shards the O(N²) encoder over a mesh
+        and runs the O(S·k)/O(N) tail through this module unchanged."""
         bs, num_corr = corr_pos.shape[0], corr_pos.shape[1]
         # the original argument (None = "all valid, statically"): the fused
         # kernels then skip the key-bias stream and its per-element add
@@ -105,7 +111,13 @@ class PointDSC(nn.Module):
         # in VMEM from the raw coordinates (kernels/sc_attention.py).
         attention_fn = None
         fused_layer_fn = None
-        if fused_attention:
+        if precomputed_features is not None:
+            # encoder ran externally (e.g. row-sharded over a mesh,
+            # parallel/seq_parallel.py): no compat matrix is built here and
+            # seed NMS uses the tile-wise coordinate kernel (src_dist=None)
+            compat = None
+            src_dist = None
+        elif fused_attention:
             from pointdsc_tpu.kernels.sc_attention import make_sc_attention_fn
 
             compat_cache = None
@@ -183,7 +195,9 @@ class PointDSC(nn.Module):
             compute_dtype=jnp.bfloat16 if self.half_precision else None,
             name="encoder",
         )
-        if self.remat:
+        if precomputed_features is not None:
+            corr_features = precomputed_features
+        elif self.remat:
             corr_features = encoder(corr_pos, compat, mask, train, attention_fn)
         else:
             corr_features = encoder(

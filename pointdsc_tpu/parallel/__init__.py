@@ -4,3 +4,4 @@ from pointdsc_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from pointdsc_tpu.parallel.seq_parallel import sp_encode, sp_testing_forward

@@ -1,0 +1,101 @@
+"""Sequence-parallel (row-sharded) encoder vs the single-device dense path.
+
+The SP path (parallel/seq_parallel.py) shards the O(N²) encoder stage of a
+single pair over the mesh's correspondence axis; these tests assert exact
+semantic equivalence with the dense model on the 8-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pointdsc_tpu.models.pointdsc import PointDSC
+from pointdsc_tpu.parallel.seq_parallel import sp_encode, sp_testing_forward
+from tests.test_model import make_synthetic_pair
+
+
+def _mesh(axis="sp"):
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _setup(rng, n=512, num_layers=4, in_dim=6, masked=False):
+    cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=n, inlier_ratio=0.4)
+    model = PointDSC(in_dim=in_dim, num_layers=num_layers, num_channels=64,
+                     k=20, ratio=0.1)
+    args = (jnp.asarray(cp)[None], jnp.asarray(src)[None],
+            jnp.asarray(tgt)[None])
+    variables = model.init(jax.random.key(0), *args)
+    mask = None
+    if masked:
+        valid = np.arange(n) < n - 96
+        mask = jnp.asarray(valid)[None]
+    return model, variables, args, mask, gt
+
+
+def test_sp_encoder_matches_dense(rng):
+    """sp_encode over 8 row shards == the dense NonLocalNet encoder."""
+    mesh = _mesh()
+    model, variables, args, _, _ = _setup(rng)
+    feats_sp = np.asarray(sp_encode(model, variables, *args, mesh))
+
+    # reference: dense forward exposes features only through the normed
+    # output; recompute the encoder directly
+    from pointdsc_tpu.models.blocks import NonLocalNet
+    from pointdsc_tpu.ops.compatibility import spatial_consistency
+
+    enc = NonLocalNet(in_dim=model.in_dim, num_layers=model.num_layers,
+                      num_channels=model.num_channels)
+    enc_vars = {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables["batch_stats"]["encoder"],
+    }
+    compat = spatial_consistency(args[1], args[2], model.sigma_d)
+    feats_dense = np.asarray(enc.apply(enc_vars, args[0], compat))
+    np.testing.assert_allclose(feats_sp, feats_dense, rtol=2e-5, atol=2e-5)
+
+
+def test_sp_encoder_masked(rng):
+    """Padded rows/cols do not perturb valid rows' features."""
+    mesh = _mesh()
+    model, variables, args, mask, _ = _setup(rng, masked=True)
+    feats_sp = np.asarray(
+        sp_encode(model, variables, *args, mesh, mask=mask)
+    )
+
+    from pointdsc_tpu.models.blocks import NonLocalNet
+    from pointdsc_tpu.ops.compatibility import spatial_consistency
+
+    enc = NonLocalNet(in_dim=model.in_dim, num_layers=model.num_layers,
+                      num_channels=model.num_channels)
+    enc_vars = {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables["batch_stats"]["encoder"],
+    }
+    compat = spatial_consistency(args[1], args[2], model.sigma_d, mask=mask)
+    feats_dense = np.asarray(enc.apply(enc_vars, args[0], compat, mask=mask))
+    valid = np.asarray(mask)[0]
+    np.testing.assert_allclose(
+        feats_sp[0, valid], feats_dense[0, valid], rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.slow
+def test_sp_full_forward_recovers_transform(rng):
+    """sp_testing_forward end-to-end: the SP-encoded forward registers the
+    planted pair and matches the single-device dense forward's transform."""
+    mesh = _mesh()
+    model, variables, args, _, gt = _setup(rng, n=512, num_layers=4)
+    out_sp = sp_testing_forward(model, variables, *args, mesh)
+    trans_sp = np.asarray(out_sp.final_trans)[0]
+
+    out_dense = model.apply(variables, *args, testing=True)
+    trans_dense = np.asarray(out_dense.final_trans)[0]
+
+    # both paths should produce near-identical transforms (same semantics;
+    # NMS kernel vs dense NMS may tie-break identically on this data)
+    np.testing.assert_allclose(trans_sp, trans_dense, atol=1e-4)
