@@ -267,8 +267,7 @@ def gc_ransac_registration(
     d_spatial = jnp.where(mask[:, None, :], d_spatial, jnp.inf)
     d_spatial = d_spatial + jnp.eye(n) * 1e9  # no self edges
     _, nbr = jax.lax.top_k(-d_spatial, knn_k)  # [B, N, k]
-    take_nbr = jax.vmap(lambda vec, nb: vec[nb])  # [B,N] x [B,N,k] -> [B,N,k]
-    nbr_valid = take_nbr(mask, nbr) & mask[..., None]
+    nbr_valid = _take_nbr(mask, nbr) & mask[..., None]
 
     # ---- hypothesis sweep (as in ransac_registration)
     idx = jax.random.randint(key, (b, num_hypotheses, 3), 0, n)
@@ -286,15 +285,18 @@ def gc_ransac_registration(
         warped = transform(src_keypts, trans)
         r2 = jnp.sum((warped - tgt_keypts) ** 2, axis=-1) / tau2
         if minimizer == "exact":
+            # lam is a traced value (spatial_coherence_weight is a plain jit
+            # argument), so it must reach the host as a callback OPERAND —
+            # closing over it leaks the tracer into numpy
             return jax.pure_callback(
-                lambda r2_, nbr_, nv_, mk_: coherence_mincut(
-                    r2_, nbr_, nv_, mk_, lam
+                lambda r2_, nbr_, nv_, mk_, lam_: coherence_mincut(
+                    r2_, nbr_, nv_, mk_, float(lam_)
                 ),
                 (
                     jax.ShapeDtypeStruct((b,), jnp.float32),
                     jax.ShapeDtypeStruct((b, n), jnp.bool_),
                 ),
-                r2, nbr, nbr_valid, mask,
+                r2, nbr, nbr_valid, mask, jnp.asarray(lam, jnp.float32),
             )
         return coherence_icm(r2, nbr, nbr_valid, mask, lam, icm_sweeps)
 

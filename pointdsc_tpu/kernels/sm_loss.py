@@ -146,12 +146,20 @@ def _sm_loss_bwd_kernel(
 
 
 def _pick_blocks(n):
-    bq = bk = min(512, n)
-    while n % bq != 0:
-        bq //= 2
-    while n % bk != 0:
-        bk //= 2
-    return bq, bk
+    """Largest tile size <= 512 that divides n and is Mosaic-lane-legal.
+
+    The tile size appears as the LANE width of the (8, bq) label-strip
+    blocks, where Mosaic requires a multiple of 128 or the full dimension —
+    so legal sizes are n itself (single tile, n <= 512) or 128-multiples
+    dividing n. Returns None when no legal tiling exists (e.g. n = 1000,
+    whose only divisors <= 512 are 8-smooth); callers fall back to the
+    dense chain there."""
+    if n <= 512:
+        return n, n
+    for b in (512, 384, 256, 128):
+        if n % b == 0:
+            return b, b
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -220,7 +228,6 @@ def _count_terms(gt_labels, mask):
     return npos, nneg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_spectral_matching_loss(
     normed_features, sigma, gt_labels, mask, balanced=True, interpret=None
 ):
@@ -233,7 +240,26 @@ def fused_spectral_matching_loss(
         sigma: scalar (the model's learned sigma parameter).
         gt_labels: [B, N] 0/1. mask: [B, N] bool.
         balanced: reference `loss.balanced` (libs/loss.py:120).
+
+    N without a Mosaic-legal tiling (see _pick_blocks) routes through the
+    dense chain instead — identical loss/grads, just with M materialized;
+    such N are below the ~4k size where the kernel pays anyway.
     """
+    if _pick_blocks(normed_features.shape[1]) is None:
+        from pointdsc_tpu.ops.compatibility import feature_similarity
+        from pointdsc_tpu.train.losses import spectral_matching_loss
+
+        M = feature_similarity(normed_features, sigma, mask=mask)
+        return spectral_matching_loss(M, gt_labels, mask=mask, balanced=balanced)
+    return _fused_sm_kernel_loss(
+        normed_features, sigma, gt_labels, mask, balanced, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_sm_kernel_loss(
+    normed_features, sigma, gt_labels, mask, balanced=True, interpret=None
+):
     loss, _ = _fused_sm_fwd(
         normed_features, sigma, gt_labels, mask, balanced, interpret
     )
@@ -296,4 +322,4 @@ def _fused_sm_bwd(balanced, interpret, residuals, dloss):
     return ((dloss * df).astype(f.dtype), dsigma, None, None)
 
 
-fused_spectral_matching_loss.defvjp(_fused_sm_fwd, _fused_sm_bwd)
+_fused_sm_kernel_loss.defvjp(_fused_sm_fwd, _fused_sm_bwd)

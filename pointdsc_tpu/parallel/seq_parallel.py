@@ -180,13 +180,20 @@ def sp_testing_forward(
     mesh: Mesh,
     mask: jnp.ndarray | None = None,
     axis_name: str = "sp",
+    fused_tail: bool = True,
 ):
     """Full testing-mode forward with the encoder row-sharded over the mesh.
 
-    Equivalent to `model.apply(variables, ..., testing=True)` on one device
-    (dense-path semantics); the encoder's O(N²) stage runs sequence-parallel
-    and the O(S·k)/O(N) tail (confidence, NMS, NSM, Procrustes, refinement)
-    runs replicated through the normal model via `precomputed_features`."""
+    Equivalent to `model.apply(variables, ..., testing=True)` on one device;
+    the encoder's O(N²) stage runs sequence-parallel and the O(S·k)/O(N)
+    tail (confidence, NMS, NSM, Procrustes, refinement) runs replicated
+    through the normal model via `precomputed_features`.
+
+    fused_tail=True (default) routes the tail through the Pallas fast path:
+    at the N this function exists for, the dense tail's [B, S, N]
+    seed-distance matrix (S = ratio·N) would itself be an O(N²/10) object —
+    the fused seed-kNN kernel (kernels/seed_knn.py) never materializes it.
+    Set fused_tail=False for bit-level dense-path semantics at small N."""
     features = sp_encode(
         model, variables, corr_pos, src_keypts, tgt_keypts, mesh,
         mask=mask, axis_name=axis_name,
@@ -194,4 +201,5 @@ def sp_testing_forward(
     return model.apply(
         variables, corr_pos, src_keypts, tgt_keypts, mask=mask,
         testing=True, precomputed_features=features,
+        fused_attention=fused_tail,
     )

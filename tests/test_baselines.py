@@ -331,10 +331,13 @@ class TestCoherenceMincut:
             rng.uniform(-1.0, 1.0, (n, 3)),
         ).astype(np.float32)
 
+        # spatial_coherence_weight passed EXPLICITLY: it is a traced jit
+        # argument, and the exact path must ship it to the host callback as
+        # an operand (regression: closing over it leaked the tracer)
         trans, labels = gc_ransac_registration(
             jnp.asarray(src)[None], jnp.asarray(tgt)[None],
             jax.random.key(3), inlier_threshold=0.10, num_hypotheses=2048,
-            minimizer="exact",
+            spatial_coherence_weight=0.1, minimizer="exact",
         )
         trans = np.asarray(trans)[0]
         re = np.degrees(np.arccos(np.clip(

@@ -86,16 +86,24 @@ def test_sp_encoder_masked(rng):
 
 @pytest.mark.slow
 def test_sp_full_forward_recovers_transform(rng):
-    """sp_testing_forward end-to-end: the SP-encoded forward registers the
-    planted pair and matches the single-device dense forward's transform."""
+    """sp_testing_forward end-to-end: with the dense tail the SP forward
+    matches the single-device dense forward's transform; with the default
+    fused tail (no [B,S,N] object) it still registers the planted pair."""
     mesh = _mesh()
     model, variables, args, _, gt = _setup(rng, n=512, num_layers=4)
-    out_sp = sp_testing_forward(model, variables, *args, mesh)
+    out_sp = sp_testing_forward(model, variables, *args, mesh,
+                                fused_tail=False)
     trans_sp = np.asarray(out_sp.final_trans)[0]
 
     out_dense = model.apply(variables, *args, testing=True)
     trans_dense = np.asarray(out_dense.final_trans)[0]
-
-    # both paths should produce near-identical transforms (same semantics;
-    # NMS kernel vs dense NMS may tie-break identically on this data)
     np.testing.assert_allclose(trans_sp, trans_dense, atol=1e-4)
+
+    # default fused tail: Pallas NMS/seed-kNN/scoring/refine (interpret mode
+    # off-TPU) — value-equivalent, so assert registration not bit equality
+    out_fused = sp_testing_forward(model, variables, *args, mesh)
+    tf = np.asarray(out_fused.final_trans)[0]
+    re = np.degrees(np.arccos(np.clip(
+        (np.trace(tf[:3, :3].T @ trans_dense[:3, :3]) - 1) / 2, -1, 1)))
+    te = np.linalg.norm(tf[:3, 3] - trans_dense[:3, 3])
+    assert re < 1.0 and te < 0.02, (re, te)

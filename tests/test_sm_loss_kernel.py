@@ -88,3 +88,32 @@ def test_multi_tile_grid(rng):
     ref = float(dense_loss(f, sigma, gt, mask, True))
     got = float(fused_spectral_matching_loss(f, sigma, gt, mask, True, True))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [1000, 640])
+def test_non_power_of_two_n(rng, n):
+    """N=1000 (the reference 3DMatch num_node) has no Mosaic-legal tiling —
+    the public entry must route it through the dense fallback rather than
+    emit 8-wide lane blocks; N=640 = 5*128 must stay on the kernel path.
+    Both must match the dense chain in loss and grads."""
+    from pointdsc_tpu.kernels.sm_loss import _pick_blocks
+
+    assert _pick_blocks(1000) is None
+    assert _pick_blocks(640) == (128, 128)
+    assert _pick_blocks(12288) == (512, 512)
+    assert _pick_blocks(256) == (256, 256)
+
+    f, gt, mask = make_inputs(rng, n=n, pad=13)
+    sigma = jnp.asarray(1.07, jnp.float32)
+    ref_loss, (ref_df, ref_ds) = jax.value_and_grad(
+        lambda ff, ss: dense_loss(ff, ss, gt, mask, True), argnums=(0, 1)
+    )(f, sigma)
+    got_loss, (got_df, got_ds) = jax.value_and_grad(
+        lambda ff, ss: fused_spectral_matching_loss(ff, ss, gt, mask, True,
+                                                    True),
+        argnums=(0, 1),
+    )(f, sigma)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_df), np.asarray(ref_df),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(got_ds), float(ref_ds), rtol=1e-4)
