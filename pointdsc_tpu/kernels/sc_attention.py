@@ -262,16 +262,20 @@ def _compat_cache_kernel(sigma_ref, gq_ref, gk_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def _build_compat_cache_single(geom, sigma_d, block_q=None, block_k=None,
-                               interpret=False):
-    n = geom.shape[1]
+                               interpret=False, geom_cols=None):
+    """geom_cols=None builds the square [N, N] cache; a second strip builds
+    the rectangular row-block [Nq, Nk] (sequence-parallel shards)."""
+    if geom_cols is None:
+        geom_cols = geom
+    nq, nk = geom.shape[1], geom_cols.shape[1]
     # swept at N=20480 on v5e: 1024x2048 with parallel grid semantics is
     # ~30% faster than the round-2 512x1024 (fewer grid steps, same VMEM)
     if block_q is None:
-        block_q = 1024 if n % 1024 == 0 else 512
+        block_q = 1024 if nq % 1024 == 0 else 512
     if block_k is None:
-        block_k = 2048 if n % 2048 == 0 else 1024
-    bq, bk = min(block_q, n), min(block_k, n)
-    assert n % bq == 0 and n % bk == 0
+        block_k = 2048 if nk % 2048 == 0 else 1024
+    bq, bk = min(block_q, nq), min(block_k, nk)
+    assert nq % bq == 0 and nk % bk == 0
     sig = jnp.asarray(sigma_d, jnp.float32).reshape(1, 1)
     kw = {}
     if not interpret:
@@ -282,7 +286,7 @@ def _build_compat_cache_single(geom, sigma_d, block_q=None, block_k=None,
         _compat_cache_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(n // bq, n // bk),
+            grid=(nq // bq, nk // bk),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((16, bq), lambda qi, kj: (0, qi)),
@@ -290,10 +294,10 @@ def _build_compat_cache_single(geom, sigma_d, block_q=None, block_k=None,
             ],
             out_specs=pl.BlockSpec((bq, bk), lambda qi, kj: (qi, kj)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((nq, nk), jnp.int8),
         **kw,
         interpret=interpret,
-    )(sig, geom, geom)
+    )(sig, geom, geom_cols)
 
 
 def build_compat_cache_int8(src, tgt, sigma_d, mask=None, interpret=None):
@@ -449,11 +453,14 @@ def _fused_sc_attention_cached_single(
     q, k, v, compat, geom, block_q=1024, block_k=1024, interpret=False,
     offset_softmax=True,
 ):
-    n, c = q.shape
-    bq, bk = min(block_q, n), min(block_k, n)
-    assert n % bq == 0 and n % bk == 0
+    # rectangular-capable: q may hold a row shard (nq rows) attending over
+    # all nk keys (sequence-parallel path); compat is then [nq, nk]
+    nq, c = q.shape
+    nk = k.shape[0]
+    bq, bk = min(block_q, nq), min(block_k, nk)
+    assert nq % bq == 0 and nk % bk == 0
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq, c), jnp.float32),
         interpret=interpret,
     )
     if not interpret:
@@ -477,7 +484,7 @@ def _fused_sc_attention_cached_single(
         kscale = (kmax / (c**0.5)).reshape(1, 1)
         return pl.pallas_call(
             _sc_attention_cached_offset_kernel,
-            grid=(n // bq, n // bk),
+            grid=(nq // bq, nk // bk),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tile_specs,
             out_specs=pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
             scratch_shapes=scratch,
@@ -485,7 +492,7 @@ def _fused_sc_attention_cached_single(
         )(kscale, q, k, v, compat, geom)
     return pl.pallas_call(
         _sc_attention_cached_kernel,
-        grid=(n // bq, n // bk),
+        grid=(nq // bq, nk // bk),
         in_specs=tile_specs,
         out_specs=pl.BlockSpec((bq, c), lambda qi, kj: (qi, 0)),
         scratch_shapes=scratch,

@@ -171,6 +171,111 @@ def sp_encode(
     return fn(pt, corr_pos, src_keypts, tgt_keypts, mask)
 
 
+def _pick_div_block(n, preferred=(2048, 1024, 512, 256, 128)):
+    """Largest preferred tile size dividing n (n itself when none do)."""
+    for b in preferred:
+        if n >= b and n % b == 0:
+            return b
+    return n
+
+
+def sp_encode_fused(
+    model,
+    variables,
+    corr_pos: jnp.ndarray,
+    src_keypts: jnp.ndarray,
+    tgt_keypts: jnp.ndarray,
+    mesh: Mesh,
+    mask: jnp.ndarray | None = None,
+    axis_name: str = "sp",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Production sequence-parallel encoder: per-device Pallas kernels.
+
+    Same sharding layout as `sp_encode`, but the compat rows are built as an
+    int8 (scale-127) cache tile-wise in VMEM and streamed through the cached
+    flash attention kernel with bf16 q/k/v — the single-chip fused path's
+    numerics (kernels/sc_attention.py), sharded: each device builds and
+    streams only its [n_loc, N] cache slice, so the HBM-dominant object is
+    1/D per chip in bytes AND in bandwidth."""
+    bsz, n = corr_pos.shape[0], corr_pos.shape[1]
+    d = mesh.shape[axis_name]
+    if n % d != 0:
+        raise ValueError(f"N={n} must divide the '{axis_name}' mesh axis ({d})")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if mask is None:
+        mask = jnp.ones((bsz, n), dtype=bool)
+    sigma_d = float(model.sigma_d)
+    pt = _layer_params(
+        variables["params"]["encoder"], variables["batch_stats"]["encoder"],
+        int(model.num_layers),
+    )
+    n_loc = n // d
+    bq = _pick_div_block(n_loc, (1024, 512, 256, 128))
+    bk = _pick_div_block(n, (1024, 512, 256, 128))
+
+    from pointdsc_tpu.kernels.sc_attention import (
+        _build_compat_cache_single,
+        _fused_sc_attention_cached_single,
+        pack_geometry,
+    )
+
+    def f(pt, cp, s, t, m):
+        gather = lambda x: jax.lax.all_gather(x, axis_name, axis=1, tiled=True)
+        s_full, t_full, m_full = gather(s), gather(t), gather(m)
+        geom_rows = jax.vmap(pack_geometry)(s, t, m)  # [B, 16, n_loc]
+        geom_cols = jax.vmap(pack_geometry)(s_full, t_full, m_full)
+        cache = jax.vmap(
+            lambda gr, gc: _build_compat_cache_single(
+                gr, sigma_d, block_q=bq, block_k=bk,
+                interpret=interpret, geom_cols=gc,
+            )
+        )(geom_rows, geom_cols)  # [B, n_loc, N] int8
+
+        k0, b0 = pt["layer0"]
+        x = cp @ k0 + b0
+        attn = jax.vmap(
+            lambda qq, kk_, vv, cc, gc: _fused_sc_attention_cached_single(
+                qq, kk_, vv, cc, gc, block_q=bq, block_k=bk,
+                interpret=interpret,
+            )
+        )
+        for lp in pt["layers"]:
+            kp, bp = lp["pc_dense"]
+            x = jax.nn.relu(_bn_eval(x @ kp + bp, *lp["pc_bn"]))
+            kq, bq_ = lp["q"]
+            kk, bk_ = lp["k"]
+            kv, bv = lp["v"]
+            q = x @ kq + bq_
+            k_full = gather(x @ kk + bk_)
+            v_full = gather(x @ kv + bv)
+            if not interpret:  # bf16 streams, f32 accumulation (fused path)
+                q, k_full, v_full = (
+                    q.astype(jnp.bfloat16),
+                    k_full.astype(jnp.bfloat16),
+                    v_full.astype(jnp.bfloat16),
+                )
+            msg = attn(q, k_full, v_full, cache, geom_cols)
+            km0, bm0 = lp["m0"]
+            msg = jax.nn.relu(_bn_eval(msg @ km0 + bm0, *lp["bn0"]))
+            km1, bm1 = lp["m1"]
+            msg = jax.nn.relu(_bn_eval(msg @ km1 + bm1, *lp["bn1"]))
+            km2, bm2 = lp["m2"]
+            x = x + (msg @ km2 + bm2)
+        return x
+
+    rows = P(None, axis_name)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, so the static replication checker cannot type them
+    fn = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), rows, rows, rows, rows),
+        out_specs=rows, check_vma=False,
+    )
+    return fn(pt, corr_pos, src_keypts, tgt_keypts, mask)
+
+
 def sp_testing_forward(
     model,
     variables,
@@ -181,6 +286,7 @@ def sp_testing_forward(
     mask: jnp.ndarray | None = None,
     axis_name: str = "sp",
     fused_tail: bool = True,
+    fused_encoder: bool = False,
 ):
     """Full testing-mode forward with the encoder row-sharded over the mesh.
 
@@ -193,8 +299,11 @@ def sp_testing_forward(
     at the N this function exists for, the dense tail's [B, S, N]
     seed-distance matrix (S = ratio·N) would itself be an O(N²/10) object —
     the fused seed-kNN kernel (kernels/seed_knn.py) never materializes it.
-    Set fused_tail=False for bit-level dense-path semantics at small N."""
-    features = sp_encode(
+    Set fused_tail=False for bit-level dense-path semantics at small N.
+    fused_encoder=True uses the sharded Pallas path (int8 cache + bf16
+    streams, `sp_encode_fused`) instead of the dense-semantics one."""
+    encode = sp_encode_fused if fused_encoder else sp_encode
+    features = encode(
         model, variables, corr_pos, src_keypts, tgt_keypts, mesh,
         mask=mask, axis_name=axis_name,
     )

@@ -107,3 +107,36 @@ def test_sp_full_forward_recovers_transform(rng):
         (np.trace(tf[:3, :3].T @ trans_dense[:3, :3]) - 1) / 2, -1, 1)))
     te = np.linalg.norm(tf[:3, 3] - trans_dense[:3, 3])
     assert re < 1.0 and te < 0.02, (re, te)
+
+
+def test_sp_fused_encoder_close_to_dense(rng):
+    """sp_encode_fused (sharded int8 cache + cached flash kernels, interpret
+    mode off-TPU) approximates the dense encoder to the known fused-path
+    tolerance (int8 compat quantization, 1/255)."""
+    from pointdsc_tpu.parallel.seq_parallel import sp_encode_fused
+
+    mesh = _mesh()
+    model, variables, args, _, _ = _setup(rng, n=512, num_layers=2)
+    feats_fused = np.asarray(sp_encode_fused(model, variables, *args, mesh))
+    feats_dense = np.asarray(sp_encode(model, variables, *args, mesh))
+    # int8 cache quantization perturbs attention weights by ~1/255 per key
+    scale = np.abs(feats_dense).max()
+    err = np.abs(feats_fused - feats_dense).max()
+    assert err < 0.02 * scale, (err, scale)
+
+
+@pytest.mark.slow
+def test_sp_fused_end_to_end(rng):
+    """Full SP forward with the production encoder + fused tail still
+    matches the dense transform to registration precision."""
+    mesh = _mesh()
+    model, variables, args, _, gt = _setup(rng, n=512, num_layers=4)
+    out = sp_testing_forward(model, variables, *args, mesh,
+                             fused_encoder=True)
+    tf = np.asarray(out.final_trans)[0]
+    out_dense = model.apply(variables, *args, testing=True)
+    td = np.asarray(out_dense.final_trans)[0]
+    re = np.degrees(np.arccos(np.clip(
+        (np.trace(tf[:3, :3].T @ td[:3, :3]) - 1) / 2, -1, 1)))
+    te = np.linalg.norm(tf[:3, 3] - td[:3, 3])
+    assert re < 1.0 and te < 0.02, (re, te)
