@@ -33,6 +33,12 @@ def main(argv=None):
         "--sharded", default=False, type=str2bool,
         help="fan pairs across all local devices (data-parallel eval)",
     )
+    parser.add_argument(
+        "--sp", default=False, type=str2bool,
+        help="sequence-parallel eval: row-shard each pair's N^2 encoder "
+        "stage over all local devices (for correspondence counts beyond "
+        "one chip's HBM); mutually exclusive with --sharded",
+    )
     parser.add_argument("--root", default="", type=str)
     parser.add_argument(
         "--use_predator", default=False, type=str2bool,
@@ -42,6 +48,8 @@ def main(argv=None):
     )
     parser.add_argument("--predator_root", default="", type=str)
     args = parser.parse_args(argv)
+    if args.sp and args.sharded:
+        parser.error("--sp and --sharded are mutually exclusive")
 
     import jax
     import jax.numpy as jnp
@@ -101,9 +109,14 @@ def main(argv=None):
     fused = args.fused_attention == "true" or (
         args.fused_attention == "auto" and jax.default_backend() == "tpu"
     )
+    sp_mesh = None
+    if args.sp:
+        from jax.sharding import Mesh
+
+        sp_mesh = Mesh(np.asarray(jax.devices()), ("sp",))
     evaluator = Evaluator(
         model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre,
-        fused_attention=fused,
+        fused_attention=fused, sp_mesh=sp_mesh,
     )
     if args.sharded:
         stats, agg = evaluator.run_dataset_sharded(dataset)

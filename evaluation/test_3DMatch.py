@@ -39,7 +39,15 @@ def main(argv=None):
         "--sharded", default=False, type=str2bool,
         help="fan pairs across all local devices (data-parallel eval)",
     )
+    parser.add_argument(
+        "--sp", default=False, type=str2bool,
+        help="sequence-parallel eval: row-shard each pair's N^2 encoder "
+        "stage over all local devices (for correspondence counts beyond "
+        "one chip's HBM); mutually exclusive with --sharded",
+    )
     args = parser.parse_args(argv)
+    if args.sp and args.sharded:
+        parser.error("--sp and --sharded are mutually exclusive")
 
     import jax.numpy as jnp
 
@@ -92,10 +100,15 @@ def main(argv=None):
     fused = args.fused_attention == "true" or (
         args.fused_attention == "auto" and jax.default_backend() == "tpu"
     )
+    sp_mesh = None
+    if args.sp:
+        from jax.sharding import Mesh
+
+        sp_mesh = Mesh(np.asarray(jax.devices()), ("sp",))
     evaluator = Evaluator(
         model, variables, re_thre=cfg.re_thre, te_thre=cfg.te_thre,
         use_icp=args.use_icp, icp_threshold=cfg.inlier_threshold,
-        solver=args.solver, fused_attention=fused,
+        solver=args.solver, fused_attention=fused, sp_mesh=sp_mesh,
     )
     if args.sharded:
         stats, agg = evaluator.run_dataset_sharded(

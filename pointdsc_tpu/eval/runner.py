@@ -30,10 +30,19 @@ class Evaluator:
         icp_threshold: float = 0.10,
         fused_attention: bool = False,
         solver: str = "SVD",
+        sp_mesh=None,
     ):
         """solver='SVD' uses the model transform; solver='RANSAC' re-solves
         on the model-prefiltered inliers with the on-device RANSAC
-        (reference test_3DMatch.py:59-77 runs Open3D RANSAC there)."""
+        (reference test_3DMatch.py:59-77 runs Open3D RANSAC there).
+
+        sp_mesh: optional jax.sharding.Mesh with an 'sp' axis — the encoder
+        of every pair runs sequence-parallel over it (row-sharded N² stage,
+        parallel/seq_parallel.py; the fused sharded encoder when
+        fused_attention, the dense-semantics one otherwise). For pairs whose
+        correspondence count outgrows one chip's HBM; bucket sizes must
+        divide the mesh axis (they are powers of two, so any power-of-two
+        device count works)."""
         self.model = model
         self.variables = variables
         self.re_thre = re_thre
@@ -45,9 +54,22 @@ class Evaluator:
 
         @jax.jit
         def _forward(corr_pos, src_keypts, tgt_keypts, mask):
+            features = None
+            if sp_mesh is not None:
+                from pointdsc_tpu.parallel.seq_parallel import (
+                    sp_encode,
+                    sp_encode_fused,
+                )
+
+                encode = sp_encode_fused if fused_attention else sp_encode
+                features = encode(
+                    model, variables, corr_pos, src_keypts, tgt_keypts,
+                    sp_mesh, mask=mask,
+                )
             out = model.apply(
                 variables, corr_pos, src_keypts, tgt_keypts, mask=mask,
                 testing=True, fused_attention=fused_attention,
+                precomputed_features=features,
             )
             trans = out.final_trans
             if solver == "RANSAC":

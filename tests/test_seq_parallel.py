@@ -140,3 +140,47 @@ def test_sp_fused_end_to_end(rng):
         (np.trace(tf[:3, :3].T @ td[:3, :3]) - 1) / 2, -1, 1)))
     te = np.linalg.norm(tf[:3, 3] - td[:3, 3])
     assert re < 1.0 and te < 0.02, (re, te)
+
+
+@pytest.mark.slow
+def test_eval_cli_sp_flag(tmp_path, rng, monkeypatch):
+    """evaluation/test_3DMatch.py --sp: sequence-parallel eval through the
+    real CLI on the virtual mesh (snapshot + fake root recipe from
+    test_eval_cli_integration)."""
+    import os
+
+    from tests.test_eval_cli_integration import write_fake_root
+    from pointdsc_tpu.train.config import default_config
+    from pointdsc_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    write_fake_root(root, rng)
+    cfg = default_config("3DMatch")
+    cfg.num_layers = 2
+    cfg.num_channels = 32
+    cfg.k = 16
+    cfg.ratio = 0.2
+    cfg.root = root
+    cfg.exp_id = "sptest"
+    cfg.snapshot_dir = str(tmp_path / "snapshot" / "sptest")
+    cfg.save_dir = os.path.join(cfg.snapshot_dir, "models")
+    cfg.tboard_dir = ""
+    cfg.verbose = False
+    cfg.save(os.path.join(cfg.snapshot_dir, "config.json"))
+    trainer = Trainer(cfg)
+    dummy = {
+        "corr_pos": np.zeros((1, 64, 6), np.float32),
+        "src_keypts": np.zeros((1, 64, 3), np.float32),
+        "tgt_keypts": np.zeros((1, 64, 3), np.float32),
+        "gt_labels": np.zeros((1, 64), np.float32),
+        "gt_trans": np.eye(4, dtype=np.float32)[None],
+        "mask": np.ones((1, 64), bool),
+    }
+    state = trainer.init_state(dummy, steps_per_epoch=1)
+    trainer.save_checkpoint(state, "best")
+    monkeypatch.chdir(tmp_path)
+    from evaluation.test_3DMatch import main
+
+    stats, agg = main(["--chosen_snapshot", "sptest", "--sp", "true"])
+    assert stats.shape[1] == 12
+    assert agg["pair_recall"] >= 2 / 3 * 100 - 1e-6
