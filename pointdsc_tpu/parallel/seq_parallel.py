@@ -248,14 +248,15 @@ def sp_encode_fused(
             kk, bk_ = lp["k"]
             kv, bv = lp["v"]
             q = x @ kq + bq_
-            k_full = gather(x @ kk + bk_)
-            v_full = gather(x @ kv + bv)
-            if not interpret:  # bf16 streams, f32 accumulation (fused path)
-                q, k_full, v_full = (
-                    q.astype(jnp.bfloat16),
-                    k_full.astype(jnp.bfloat16),
-                    v_full.astype(jnp.bfloat16),
-                )
+            k_loc = x @ kk + bk_
+            v_loc = x @ kv + bv
+            if not interpret:  # bf16 streams, f32 accumulation (fused path);
+                # casting BEFORE the gather halves the ICI bytes too
+                q = q.astype(jnp.bfloat16)
+                k_loc = k_loc.astype(jnp.bfloat16)
+                v_loc = v_loc.astype(jnp.bfloat16)
+            k_full = gather(k_loc)
+            v_full = gather(v_loc)
             msg = attn(q, k_full, v_full, cache, geom_cols)
             km0, bm0 = lp["m0"]
             msg = jax.nn.relu(_bn_eval(msg @ km0 + bm0, *lp["bn0"]))
