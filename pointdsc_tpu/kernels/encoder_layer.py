@@ -56,6 +56,56 @@ def fold_bn(kernel, bias, scale, bn_bias, mean, var, eps=1e-5):
     return kernel * a[None, :], bias * a + (bn_bias - mean * a)
 
 
+def _offset_attn_p(q, k, compat, kbias_row, scale, offset, has_bias):
+    """Shared attention step of both whole-layer kernels: compat-modulated
+    logits, offset-softmax exponential (floored at -80 nats), masked keys
+    zeroed exactly. Returns the unnormalized weights p (f32)."""
+    f32 = jnp.float32
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * scale
+    s = compat.astype(f32) * logits
+    if has_bias:
+        s = s + kbias_row
+    p = jnp.exp(jnp.maximum(s - offset, -80.0))
+    if has_bias:
+        # the -80 floor keeps out-of-regime rows finite, but it must never
+        # resurrect masked keys: zero them outright (the reference softmax
+        # with a -1e9 bias gives them exactly 0)
+        p = jnp.where(kbias_row < 0.0, 0.0, p)
+    return p
+
+
+def _message_mlp_residual(o, h, wm0_ref, bm0_ref, wm1_ref, bm1_ref,
+                          wm2_ref, bm2_ref):
+    """Shared epilogue: 3-Dense message MLP (BN folded) + residual."""
+    f32 = jnp.float32
+    msg = jnp.maximum(
+        jax.lax.dot_general(
+            o, wm0_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bm0_ref[:],
+        0.0,
+    )
+    msg = jnp.maximum(
+        jax.lax.dot_general(
+            msg, wm1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bm1_ref[:],
+        0.0,
+    )
+    msg = (
+        jax.lax.dot_general(
+            msg, wm2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bm2_ref[:]
+    )
+    return h + msg
+
+
 def _make_kernel(n, c, bq, bk, has_bias, n_k):
     scale = 1.0 / (c**0.5) / 127.0  # qk scale with the int8 decode folded in
 
@@ -136,14 +186,10 @@ def _make_kernel(n, c, bq, bk, has_bias, n_k):
             q = q_scr[pl.ds(qi * bq, bq), :]
             k = k_scr[pl.ds(j * bk, bk), :]
             v = v_scr[pl.ds(j * bk, bk), :]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            ) * scale
-            s = compat_ref[:].astype(f32) * logits
-            if has_bias:
-                s = s + kbias_ref[0:1, :]
-
-            p = jnp.exp(jnp.maximum(s - ml_scr[:, 0:1], -80.0))
+            p = _offset_attn_p(
+                q, k, compat_ref[:], kbias_ref[0:1, :], scale,
+                ml_scr[:, 0:1], has_bias,
+            )
             ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
@@ -154,30 +200,10 @@ def _make_kernel(n, c, bq, bk, has_bias, n_k):
             @pl.when(j == n_k - 1)
             def _epilogue():
                 o = acc_scr[:] / (ml_scr[:, 1:2] + 1e-30)
-                msg = jnp.maximum(
-                    jax.lax.dot_general(
-                        o, wm0_ref[:], (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    + bm0_ref[:],
-                    0.0,
+                out_ref[:] = _message_mlp_residual(
+                    o, h_scr[pl.ds(qi * bq, bq), :],
+                    wm0_ref, bm0_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
                 )
-                msg = jnp.maximum(
-                    jax.lax.dot_general(
-                        msg, wm1_ref[:], (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    + bm1_ref[:],
-                    0.0,
-                )
-                msg = (
-                    jax.lax.dot_general(
-                        msg, wm2_ref[:], (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    + bm2_ref[:]
-                )
-                out_ref[:] = h_scr[pl.ds(qi * bq, bq), :] + msg
 
     return kernel
 
@@ -191,7 +217,12 @@ def _fused_layer_single(
 ):
     n, c = x.shape
     bq, bk = min(block_q, n), min(block_k, n)
-    assert n % bq == 0 and n % bk == 0
+    # adapt to any bucket size (the data layer guarantees multiples of 512,
+    # not of 1024) — same halving rule as the split kernel below
+    while n % bq:
+        bq //= 2
+    while n % bk:
+        bk //= 2
     n_q, n_k = n // bq, n // bk
     kernel = _make_kernel(n, c, bq, bk, has_bias, n_k)
     (w1, b1, wqkv, bqkv, wm0, bm0, wm1, bm1, wm2, bm2) = weights
@@ -303,14 +334,10 @@ def _make_attn_mlp_kernel(c, has_bias, n_k):
             ml_scr[:, 1:2] = jnp.zeros_like(ml_scr[:, 1:2])
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
-        logits = jax.lax.dot_general(
-            q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        ) * scale
-        s = compat_ref[:].astype(f32) * logits
-        if has_bias:
-            s = s + kbias_ref[0:1, :]
-        p = jnp.exp(jnp.maximum(s - ml_scr[:, 0:1], -80.0))
+        p = _offset_attn_p(
+            q_ref[:], k_ref[:], compat_ref[:], kbias_ref[0:1, :], scale,
+            ml_scr[:, 0:1], has_bias,
+        )
         ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] += jax.lax.dot_general(
             p.astype(jnp.bfloat16), v_ref[:], (((1,), (0,)), ((), ())),
@@ -320,30 +347,10 @@ def _make_attn_mlp_kernel(c, has_bias, n_k):
         @pl.when(j == n_k - 1)
         def _epilogue():
             o = acc_scr[:] / (ml_scr[:, 1:2] + 1e-30)
-            msg = jnp.maximum(
-                jax.lax.dot_general(
-                    o, wm0_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                + bm0_ref[:],
-                0.0,
+            out_ref[:] = _message_mlp_residual(
+                o, h_ref[:],
+                wm0_ref, bm0_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
             )
-            msg = jnp.maximum(
-                jax.lax.dot_general(
-                    msg, wm1_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                + bm1_ref[:],
-                0.0,
-            )
-            msg = (
-                jax.lax.dot_general(
-                    msg, wm2_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                + bm2_ref[:]
-            )
-            out_ref[:] = h_ref[:] + msg
 
     return kernel
 

@@ -434,6 +434,11 @@ def _sc_attention_cached_offset_kernel(
     ) * qk_scale
     s = compat * logits + bias_k
     p = jnp.exp(jnp.maximum(s - ml_scr[:, 0:1], -80.0))
+    # the floor keeps out-of-regime rows finite, but masked keys must stay
+    # exactly 0 (the reference's -1e9 bias yields 0 after softmax) — without
+    # this, a row whose offset slack exceeds 80 nats would leak e^-80 weight
+    # to every padded key
+    p = jnp.where(bias_k < 0.0, 0.0, p)
     ml_scr[:, 1:2] += jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] += jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),

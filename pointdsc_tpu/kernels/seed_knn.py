@@ -55,11 +55,17 @@ def _make_kernel(k, bn):
             preferred_element_type=f32,
         )  # (bs, bn) inner products
         cols = jax.lax.broadcasted_iota(f32, scores.shape, 1) + f32(bn * nj)
-        # self-exclusion (the reference drops the k+1 self column) + mask
-        scores = jnp.where(cols == sid_ref[:, 0:1], _NEG, scores)
+        # self-exclusion (the reference drops the k+1 self column) at the
+        # -3e38 floor tier so the self column loses even to masked columns
+        # (which sit at exactly -1e30) and is never returned
+        scores = jnp.where(cols == sid_ref[:, 0:1], f32(-3e38), scores)
         scores = scores + mrow_ref[0:1, :]
 
-        vals = jnp.full((scores.shape[0], KPAD), _NEG, f32)
+        # padding lanes start at -3e38: strictly below any real candidate
+        # (masked/self columns score exactly -1e30), so under heavy padding
+        # the union stage still returns real column indices — never the
+        # fabricated index 0 a -1e30 tie could promote
+        vals = jnp.full((scores.shape[0], KPAD), f32(-3e38), f32)
         idxs = jnp.zeros((scores.shape[0], KPAD), f32)
         for i in range(k):
             m = jnp.max(scores, axis=-1, keepdims=True)  # (bs, 1)
@@ -68,8 +74,12 @@ def _make_kernel(k, bn):
             idxs = jax.lax.dynamic_update_slice(
                 idxs, am + f32(bn * nj), (0, i)
             )
+            # exclude the winner at the -3e38 floor tier: setting it to
+            # -1e30 would TIE with still-unselected masked columns and make
+            # argmax return the same column forever (duplicate neighbors
+            # when fewer than k valid candidates exist)
             hit = jax.lax.broadcasted_iota(f32, scores.shape, 1) == am
-            scores = jnp.where(hit, _NEG, scores)
+            scores = jnp.where(hit, f32(-3e38), scores)
         vals_ref[:] = vals
         idx_ref[:] = idxs
 
@@ -138,6 +148,13 @@ def seed_knn_exact(features, seeds, k, mask=None, interpret=None):
         raise ValueError(
             f"seed_knn_exact: N={n} exceeds the f32 index carry (2^24)."
         )
+    if k > KPAD:
+        # the per-chunk winner block is KPAD lanes wide; iterations past it
+        # would clamp onto column KPAD-1 and silently drop candidates
+        raise ValueError(
+            f"seed_knn_exact: k={k} exceeds the kernel's KPAD={KPAD} winner "
+            "block; use the XLA exact_topk path for larger k."
+        )
     s = seeds.shape[1]
     # pad the seed axis up to the row-tile multiple
     bs = min(256, s)
@@ -152,8 +169,9 @@ def seed_knn_exact(features, seeds, k, mask=None, interpret=None):
             sf, f.T, sid, mrow, k, block_s=bs, interpret=interpret
         )
         # union of per-chunk winners -> exact second stage. Only the first
-        # k of each KPAD-wide block are real; the padding lanes hold -1e30
-        # and can never enter the top-k (k <= KPAD real candidates exist).
+        # k of each KPAD-wide block are real; the padding lanes hold -3e38,
+        # strictly below every real candidate (masked/self columns carry
+        # exactly -1e30), so they can never enter the top-k.
         i2 = exact_topk(vals[:s], k)
         return jnp.take_along_axis(idxs[:s], i2, axis=-1).astype(jnp.int32)
 

@@ -320,7 +320,7 @@ class PointDSC(nn.Module):
             seed_dist = jnp.where(cols == seeds[:, :, None], 1e9, seed_dist)
             seed_dist = jnp.where(mask[:, None, :], seed_dist, 1e9)
             _, knn_idx = jax.lax.approx_max_k(-seed_dist, k, recall_target=0.95)
-        elif fused and num_corr >= _SEED_KNN_FUSED_MIN_N:
+        elif fused and num_corr >= _SEED_KNN_FUSED_MIN_N and k <= 128:
             # fused EXACT selection (kernels/seed_knn.py): similarity tile
             # on the MXU + in-VMEM per-chunk top-k; the sort-based path
             # below costs ~10 ms at S=2048/N=20480, this ~2 ms

@@ -29,7 +29,9 @@ def _dense_ref(features, seeds, k, mask=None):
 
 
 @pytest.mark.parametrize("masked", [False, True])
-@pytest.mark.parametrize("s", [256, 192])  # 192 exercises seed-row padding
+# 192 stays below the 256 row tile (single-tile path); 300 pads to 512, the
+# only value here that actually exercises the padded-seed-rows truncation
+@pytest.mark.parametrize("s", [256, 192, 300])
 def test_matches_dense_reference(rng, masked, s):
     n, c, k = 2048, 64, 8
     f = rng.normal(size=(2, n, c)).astype(np.float32)
@@ -82,3 +84,27 @@ def test_model_wiring(rng, monkeypatch):
         np.asarray(kern.final_labels) == np.asarray(base.final_labels)
     ).mean()
     assert agree == 1.0
+
+
+def test_heavy_padding_fewer_valid_than_k(rng):
+    """When a sample has fewer valid correspondences than k, the kernel
+    must still return real (unique) column indices containing every valid
+    non-self neighbor — regression for padding lanes (value ties at -1e30)
+    promoting a fabricated index 0 into the result."""
+    n, c, k, n_valid, s = 2048, 32, 40, 30, 256
+    f = rng.normal(size=(1, n, c)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=-1, keepdims=True)
+    m = np.zeros((1, n), bool)
+    m[:, :n_valid] = True
+    seeds = rng.choice(n_valid, s, replace=True).astype(np.int32)[None]
+
+    got = np.asarray(
+        seed_knn_exact(jnp.asarray(f), jnp.asarray(seeds), k,
+                       mask=jnp.asarray(m))
+    )[0]
+    for row, seed in zip(got, seeds[0]):
+        assert len(set(row.tolist())) == k, "duplicate neighbor indices"
+        valid_others = set(range(n_valid)) - {int(seed)}
+        assert valid_others.issubset(set(row.tolist())), (
+            "a valid neighbor was displaced by a padding candidate"
+        )
