@@ -275,10 +275,15 @@ def _pcn_qkv_kernel(
     wqkv_ref, bqkv_ref,  # (c, 3c), (1, 3c)
     h_ref,  # (bt, c) f32 out
     q_ref, k_ref, v_ref,  # (bt, c) bf16 out
+    kscale_ref,  # (1, 1) f32 out: max_j ||k_j|| / sqrt(c) (offset softmax)
+    kmax_scr,  # SMEM (1, 1) f32: running max over row tiles
 ):
     """Split-layer phase A: PointCN (BN folded) + fused QKV projection in
     one pass over the row tiles. h stays f32 (it is the residual trunk);
-    q/k/v are written bf16 for the attention stream."""
+    q/k/v are written bf16 for the attention stream. The offset-softmax
+    key-norm bound accumulates in SMEM across the (sequential) grid — a
+    separate XLA pass would re-read the whole [N, C] k from HBM per layer."""
+    i = pl.program_id(0)
     f32 = jnp.float32
     c = w1_ref.shape[1]
     h = jnp.maximum(
@@ -298,8 +303,24 @@ def _pcn_qkv_kernel(
         + bqkv_ref[:]
     )
     q_ref[:] = qkv[:, 0:c].astype(jnp.bfloat16)
-    k_ref[:] = qkv[:, c:2 * c].astype(jnp.bfloat16)
+    kt = qkv[:, c:2 * c].astype(jnp.bfloat16)
+    k_ref[:] = kt
     v_ref[:] = qkv[:, 2 * c:3 * c].astype(jnp.bfloat16)
+    # norm of the bf16-cast keys (phase B streams those exact values)
+    ktf = kt.astype(f32)
+    tile_kmax = jnp.sqrt(jnp.max(jnp.sum(ktf * ktf, axis=-1)))
+
+    @pl.when(i == 0)
+    def _seed():
+        kmax_scr[0, 0] = tile_kmax
+
+    @pl.when(i > 0)
+    def _accum():
+        kmax_scr[0, 0] = jnp.maximum(kmax_scr[0, 0], tile_kmax)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        kscale_ref[0, 0] = kmax_scr[0, 0] * (1.0 / (c**0.5))
 
 
 def _make_attn_mlp_kernel(c, has_bias, n_k):
@@ -385,7 +406,7 @@ def _fused_layer_split_single(
 
     full = lambda arr: pl.BlockSpec(arr.shape, lambda *_: (0,) * arr.ndim)
     bt = bk  # phase-A row tile
-    h, q, k, v = pl.pallas_call(
+    h, q, k, v, kscale = pl.pallas_call(
         _pcn_qkv_kernel,
         grid=(n // bt,),
         in_specs=[
@@ -393,19 +414,18 @@ def _fused_layer_split_single(
             full(w1), pl.BlockSpec((1, c), lambda i: (0, 0)),
             full(wqkv), pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((bt, c), lambda i: (i, 0))] * 4,
+        out_specs=[pl.BlockSpec((bt, c), lambda i: (i, 0))] * 4
+        + [pl.BlockSpec((1, 1), lambda i: (0, 0))],
         out_shape=[
             jax.ShapeDtypeStruct((n, c), jnp.float32),
             jax.ShapeDtypeStruct((n, c), jnp.bfloat16),
             jax.ShapeDtypeStruct((n, c), jnp.bfloat16),
             jax.ShapeDtypeStruct((n, c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
     )(x, w1, row2(b1), wqkv, row2(bqkv))
-
-    kf = k.astype(jnp.float32)
-    kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1)))
-    kscale = (kmax * (1.0 / (c**0.5))).reshape(1, 1)
 
     kw = {}
     if not interpret:
