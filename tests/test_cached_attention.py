@@ -60,6 +60,35 @@ def test_offset_softmax_extreme_norms(rng):
                                        atol=2e-2 * float(np.abs(ref).max()))
 
 
+def test_offset_softmax_masked_keys_zero_out_of_regime(rng):
+    """Masked keys must receive exactly zero weight even when a row is far
+    outside the offset bound's validity regime (where the -80 exp floor
+    would otherwise hand every key — including padded garbage — the same
+    e^-80 weight). With the keys zeroed, the out-of-regime degradation
+    falls back to near-uniform attention over VALID keys only: the output
+    must lie in the convex hull of the valid rows' v vectors."""
+    b, n, c, n_valid = 1, 256, 32, 160
+    src = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    tgt = src + jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 0.05
+    mask = jnp.asarray((np.arange(n) < n_valid)[None])
+    compat = spatial_consistency(src, tgt, 0.1, mask=mask)
+    v = np.zeros((b, n, c), np.float32)
+    v[:, :n_valid] = rng.normal(size=(b, n_valid, c))
+    v[:, n_valid:] = 1e6  # padded-garbage values: must never leak through
+    v = jnp.asarray(v)
+    q = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32)) * 30.0
+    k = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32)) * 30.0
+    out = np.asarray(fused_sc_attention_cached(
+        q, k, v, compat, src, tgt, mask=mask, block_q=128, block_k=128,
+        interpret=True,
+    ))
+    assert np.isfinite(out).all()
+    vmax = float(np.abs(np.asarray(v)[0, :n_valid]).max())
+    assert np.abs(out[0, :n_valid]).max() <= vmax + 1e-3, (
+        "masked-key values leaked into out-of-regime rows"
+    )
+
+
 def test_cached_model_forward_matches_dense(rng):
     model = PointDSC(in_dim=6, num_layers=2, num_channels=32, k=16, ratio=0.1)
     cp, src, tgt, gt, lab = make_synthetic_pair(rng, n=256, inlier_ratio=0.6)
