@@ -54,7 +54,9 @@ def _make_kernel(k, bn):
             sf_ref[:], cf_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )  # (bs, bn) inner products
-        cols = jax.lax.broadcasted_iota(f32, scores.shape, 1) + f32(bn * nj)
+        # Mosaic iota must be integer; cast where f32 values are needed
+        ii = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        cols = ii.astype(f32) + f32(bn * nj)
         # self-exclusion (the reference drops the k+1 self column) at the
         # -3e38 floor tier so the self column loses even to masked columns
         # (which sit at exactly -1e30) and is never returned
@@ -67,18 +69,21 @@ def _make_kernel(k, bn):
         # fabricated index 0 a -1e30 tie could promote
         vals = jnp.full((scores.shape[0], KPAD), f32(-3e38), f32)
         idxs = jnp.zeros((scores.shape[0], KPAD), f32)
+        # lane-mask select instead of dynamic_update_slice: the latter has
+        # no Pallas TPU lowering (even with constant offsets); writing
+        # winner i into lane i via an iota compare is a pure vector select
+        lane = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], KPAD), 1)
         for i in range(k):
             m = jnp.max(scores, axis=-1, keepdims=True)  # (bs, 1)
-            am = jnp.argmax(scores, axis=-1)[:, None].astype(f32)  # (bs, 1)
-            vals = jax.lax.dynamic_update_slice(vals, m, (0, i))
-            idxs = jax.lax.dynamic_update_slice(
-                idxs, am + f32(bn * nj), (0, i)
-            )
+            am = jnp.argmax(scores, axis=-1)[:, None]  # (bs, 1) int32
+            sel = lane == i
+            vals = jnp.where(sel, m, vals)
+            idxs = jnp.where(sel, am.astype(f32) + f32(bn * nj), idxs)
             # exclude the winner at the -3e38 floor tier: setting it to
             # -1e30 would TIE with still-unselected masked columns and make
             # argmax return the same column forever (duplicate neighbors
             # when fewer than k valid candidates exist)
-            hit = jax.lax.broadcasted_iota(f32, scores.shape, 1) == am
+            hit = ii == am
             scores = jnp.where(hit, f32(-3e38), scores)
         vals_ref[:] = vals
         idx_ref[:] = idxs
