@@ -161,8 +161,10 @@ def format_scene_report(agg: dict) -> str:
         f"Output: precision={agg['output_precision']:.4f}, "
         f"recall={agg['output_recall']:.4f}, f1={agg['output_f1']:.4f}"
     )
+    note = agg.get("model_time_semantics")
     lines.append(
-        f"Avg model time: {agg['model_time']*1000:.2f}ms, "
-        f"data time: {agg['data_time']*1000:.2f}ms"
+        f"Avg model time: {agg['model_time']*1000:.2f}ms"
+        + (f" [{note}]" if note else "")
+        + f", data time: {agg['data_time']*1000:.2f}ms"
     )
     return "\n".join(lines)

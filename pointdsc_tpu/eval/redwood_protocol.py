@@ -56,7 +56,7 @@ def transformation_error(trans: np.ndarray, info: np.ndarray) -> float:
     t = trans[:3, 3]
     q = rotation_to_quaternion(trans[:3, :3])
     er = np.concatenate([t, q[1:]], axis=0)
-    return float(er.reshape(1, 6) @ info @ er.reshape(6, 1) / info[0, 0])
+    return float((er.reshape(1, 6) @ info @ er.reshape(6, 1))[0, 0] / info[0, 0])
 
 
 def read_trajectory(filename: str, dim: int = 4):

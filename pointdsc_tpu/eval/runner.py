@@ -51,6 +51,16 @@ class Evaluator:
         self._icp_threshold = icp_threshold
         self._fused_attention = fused_attention
         self._solver = solver
+        self._sp_mesh = sp_mesh
+        self._regime_checked = False
+        self._build_forward()
+        self._warmed_buckets: set[int] = set()
+
+    def _build_forward(self):
+        model, variables = self.model, self.variables
+        fused_attention, solver = self._fused_attention, self._solver
+        use_icp, icp_threshold = self._use_icp, self._icp_threshold
+        sp_mesh = self._sp_mesh
 
         @jax.jit
         def _forward(corr_pos, src_keypts, tgt_keypts, mask):
@@ -99,7 +109,40 @@ class Evaluator:
             return trans, out.final_labels
 
         self._forward = _forward
-        self._warmed_buckets: set[int] = set()
+
+    def _guard_offset_regime(self, args):
+        """Checkpoint-load-time kernel selection (models/regime.py): the
+        offset-softmax eval kernels are exact only while the bound slack
+        stays inside the regime; weights imported from elsewhere carry no
+        such guarantee and would otherwise degrade SILENTLY toward uniform
+        attention. Measured once per eval run on the first pair; out of
+        regime flips the model to the running-max flash kernels (exact for
+        arbitrary weights) before any timed dispatch."""
+        if self._regime_checked:
+            return
+        self._regime_checked = True
+        if not self._fused_attention or not self.model.offset_softmax:
+            return
+        from pointdsc_tpu.models.regime import (
+            OFFSET_REGIME_MAX_SLACK,
+            offset_regime_slack,
+        )
+
+        corr_pos, src, tgt, mask = args
+        slack = offset_regime_slack(
+            self.model, self.variables, corr_pos, src, tgt, mask=mask
+        )
+        if slack >= OFFSET_REGIME_MAX_SLACK:
+            print(
+                f"[eval] offset-softmax bound slack {slack:.1f} nats is "
+                f"outside the {OFFSET_REGIME_MAX_SLACK:.0f}-nat validity "
+                "regime (unconstrained/imported weights) — selecting the "
+                "running-max flash attention kernels instead"
+            )
+            self.model = self.model.clone(offset_softmax=False)
+            self._build_forward()
+            if hasattr(self, "_forward_batch_fn"):
+                del self._forward_batch_fn
 
     def run_pair(self, sample: dict, scene_ind: int = 0, data_time: float = 0.0):
         """sample: un-padded dict from a dataset; returns a 12-col stats row."""
@@ -117,6 +160,7 @@ class Evaluator:
         # tens of seconds)
         bucket = padded["corr_pos"].shape[0]
         if bucket not in self._warmed_buckets:
+            self._guard_offset_regime(args)
             # a host fetch is the only reliable sync on tunneled backends
             np.asarray(self._forward(*args)[0])
             self._warmed_buckets.add(bucket)
@@ -198,6 +242,7 @@ class Evaluator:
             # separate set — the batched executable is distinct from
             # run_pair's bs=1 one)
             if bucket not in warmed:
+                self._guard_offset_regime(args)
                 np.asarray(self._forward_batch(*args)[0])
                 warmed.add(bucket)
             t = Timer()
@@ -239,7 +284,16 @@ class Evaluator:
             flush(bucket, items)
 
         stats = np.stack([r for r in rows if r is not None], axis=0)
-        return stats, aggregate_stats(stats)
+        agg = aggregate_stats(stats)
+        # col 9 in a sharded run is wall/n_real of an n_dev-pair dispatch —
+        # a throughput share, not a latency. Pairs execute concurrently on
+        # different chips, so a per-pair device latency is not a defined
+        # quantity here; declare the semantics in the report instead of
+        # letting the column silently read as sequential per-pair time.
+        agg["model_time_semantics"] = (
+            f"batch-amortized: wall/n over {n_dev}-pair sharded dispatches"
+        )
+        return stats, agg
 
     @property
     def _forward_batch(self):

@@ -415,7 +415,9 @@ def _fused_layer_split_single(
             full(wqkv), pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((bt, c), lambda i: (i, 0))] * 4
-        + [pl.BlockSpec((1, 1), lambda i: (0, 0))],
+        # kscale is a (1, 1) scalar: it must live in SMEM — Mosaic rejects
+        # scalar stores to VMEM, and phase B reads it via SMEM anyway
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((n, c), jnp.float32),
             jax.ShapeDtypeStruct((n, c), jnp.bfloat16),
@@ -429,8 +431,13 @@ def _fused_layer_split_single(
 
     kw = {}
     if not interpret:
+        # the 2048x1024 tile set sits ~75 KB above the default 16 MB scoped
+        # VMEM window once double-buffering is counted; v5e has 128 MB of
+        # physical VMEM, so widen the scope rather than shrink the tiles
+        # (1024x1024 measured 14% slower, tools/tune_layer_split.py)
         kw["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=24 * 1024 * 1024,
         )
     kernel = _make_attn_mlp_kernel(c, has_bias, n // bk)
     return pl.pallas_call(

@@ -507,7 +507,7 @@ def _fused_sc_attention_cached_single(
 
 def fused_sc_attention_cached(
     q, k, v, compat, src, tgt, mask=None, block_q=None, block_k=None,
-    interpret=None, use_bf16=True,
+    interpret=None, use_bf16=True, offset_softmax=True,
 ):
     """Batched cached-compat fused attention.
 
@@ -543,6 +543,7 @@ def fused_sc_attention_cached(
     fn = functools.partial(
         _fused_sc_attention_cached_single,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        offset_softmax=offset_softmax,
     )
     return jax.vmap(fn)(q, k, v, compat, geom)
 
@@ -820,7 +821,8 @@ sc_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=None, block_k=None,
-                         interpret=None, trainable=False, compat_cache=None):
+                         interpret=None, trainable=False, compat_cache=None,
+                         offset_softmax=True):
     """Adapter producing the `attention_fn(q, k, v, mask)` hook consumed by
     NonLocalBlock: closes over the pair geometry so each of the 12 layers
     recomputes compatibility tiles on the fly instead of reading a shared
@@ -843,6 +845,7 @@ def make_sc_attention_fn(src, tgt, sigma_d, mask=None, block_q=None, block_k=Non
             return fused_sc_attention_cached(
                 q, k, v, compat_cache, src, tgt, mask=mask,
                 block_q=block_q, block_k=block_k, interpret=interpret,
+                offset_softmax=offset_softmax,
             )
 
         return attention_fn

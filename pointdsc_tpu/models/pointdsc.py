@@ -69,6 +69,12 @@ class PointDSC(nn.Module):
     approx_knn: bool = False  # TPU-optimized approx top-k for NSM neighbors
     remat: bool = False  # rematerialize encoder layers (training memory)
     fused_cache_compat: bool = True  # share one bf16 compat cache across layers
+    # offset-softmax eval kernels (exact within the bound-slack regime,
+    # models/regime.py). False selects the running-max flash kernels —
+    # exact for ARBITRARY weights (e.g. imported torch checkpoints whose
+    # activation norms were never constrained); the eval runner validates
+    # the regime at first dispatch and flips this statically when needed.
+    offset_softmax: bool = True
 
     @nn.compact
     def __call__(
@@ -146,6 +152,7 @@ class PointDSC(nn.Module):
                 mask=mask_arg,
                 trainable=train,  # custom-VJP kernels when gradients flow
                 compat_cache=compat_cache,
+                offset_softmax=self.offset_softmax,
             )
             compat = None
             src_dist = None  # NMS runs its own fused kernel; no [N,N] in HBM
@@ -161,6 +168,10 @@ class PointDSC(nn.Module):
                 compat_cache is not None
                 and not self.half_precision
                 and not self.remat
+                # the whole-layer kernels implement ONLY the offset
+                # softmax; out-of-regime checkpoints keep attention-only
+                # fusion with the running-max kernel instead
+                and self.offset_softmax
             ):
                 from pointdsc_tpu.kernels.encoder_layer import (
                     make_fused_layer_fn,

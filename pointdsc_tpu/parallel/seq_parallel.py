@@ -235,10 +235,11 @@ def sp_encode_fused(
 
         k0, b0 = pt["layer0"]
         x = cp @ k0 + b0
+        offset = bool(getattr(model, "offset_softmax", True))
         attn = jax.vmap(
             lambda qq, kk_, vv, cc, gc: _fused_sc_attention_cached_single(
                 qq, kk_, vv, cc, gc, block_q=bq, block_k=bk,
-                interpret=interpret,
+                interpret=interpret, offset_softmax=offset,
             )
         )
         for lp in pt["layers"]:

@@ -12,12 +12,21 @@ Paths covered (gates in models/pointdsc.py + kernels/encoder_layer.py):
   - N=1024:  compat cache, whole-layer fused encoder, fused NMS/scoring/
              refinement/confidence, XLA exact_topk NSM selection
   - N=4096:  fused exact seed-kNN kernel (gate: N >= 4096)
-  - N=8192:  split whole-layer fusion (gate: N > 6144), approx-knn variant
+  - N=12288: split whole-layer fusion (gate: N > 6144), approx-knn variant
+             — the exact shape bench.py's n12k line dispatches
+  - SP:      rectangular [n_loc, N] compat-cache + cached-flash kernels,
+             exactly the per-device calls of sp_encode_fused
   - train:   custom-VJP flash attention + fused SM loss (fwd+bwd)
   - nn_search: tiled NN kernel (ICP / information matrices)
 
 Run: `python tools/tpu_smoke.py` (needs the TPU tunnel; exits non-zero if
-any path fails to lower or execute).
+any path fails to lower or execute). Pass --require-tpu to also exit
+non-zero when no TPU backend is attached (for automated gates, where a
+downed tunnel must not read as a pass).
+
+docs/WORKFLOW.md step 0: run this after ANY edit under pointdsc_tpu/kernels/
+before committing — interpret-mode CPU tests validate semantics but not
+Mosaic lowering.
 """
 
 from __future__ import annotations
@@ -35,7 +44,14 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    require_tpu = "--require-tpu" in sys.argv or os.environ.get(
+        "TPU_SMOKE_REQUIRE_TPU", ""
+    ) not in ("", "0")
     if jax.default_backend() != "tpu":
+        if require_tpu:
+            print("tpu_smoke: FAIL — no TPU backend attached "
+                  "(--require-tpu set)")
+            return 1
         print("tpu_smoke: no TPU backend attached; nothing to validate")
         return 0
 
@@ -78,8 +94,55 @@ def main() -> int:
           lambda: eval_at(1024, model))
     check("fused eval N=4096 (fused exact seed-kNN)",
           lambda: eval_at(4096, model))
-    check("fused eval N=8192 approx (split layer fusion, approx knn)",
-          lambda: eval_at(8192, model.clone(approx_knn=True)))
+    check("fused eval N=12288 approx (split layer fusion, bench n12k shape)",
+          lambda: eval_at(12288, model.clone(approx_knn=True)))
+
+    def sp_rect_kernels():
+        # the per-device calls of parallel/seq_parallel.py::sp_encode_fused,
+        # run directly on one chip with rectangular [n_loc, N] shapes
+        from pointdsc_tpu.kernels.sc_attention import (
+            _build_compat_cache_single,
+            _fused_sc_attention_cached_single,
+            pack_geometry,
+        )
+
+        rng = np.random.default_rng(0)
+        n, d, c = 4096, 4, 128
+        n_loc = n // d
+        src = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+        tgt = src + 0.01 * jnp.asarray(
+            rng.standard_normal((n, 3)).astype(np.float32))
+        m = jnp.ones((n,), bool)
+        geom_rows = pack_geometry(src[:n_loc], tgt[:n_loc], m[:n_loc])
+        geom_cols = pack_geometry(src, tgt, m)
+        cache = _build_compat_cache_single(
+            geom_rows, 0.1, block_q=1024, block_k=1024, interpret=False,
+            geom_cols=geom_cols,
+        )
+        q = jnp.asarray(
+            rng.standard_normal((n_loc, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        k = jnp.asarray(
+            rng.standard_normal((n, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        v = jnp.asarray(
+            rng.standard_normal((n, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        out_off = _fused_sc_attention_cached_single(
+            q, k, v, cache, geom_cols, block_q=1024, block_k=1024,
+            interpret=False,
+        )
+        # the running-max variant is the regime-guard fallback
+        # (models/regime.py) — selected at checkpoint load for imported
+        # weights whose norms exceed the offset-softmax regime
+        out_rm = _fused_sc_attention_cached_single(
+            q, k, v, cache, geom_cols, block_q=1024, block_k=1024,
+            interpret=False, offset_softmax=False,
+        )
+        return out_off, out_rm
+
+    check("SP rectangular kernels (per-device sp_encode_fused calls)",
+          sp_rect_kernels)
 
     def train_step():
         from pointdsc_tpu.data import collate_batch
