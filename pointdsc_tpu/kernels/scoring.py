@@ -89,16 +89,26 @@ def _scoring_kernel(thr_ref, tr_ref, pts_ref, out_ref, acc):
         out_ref[:] = acc[:]
 
 
+def _largest_lane_divisor(n, cap):
+    """Largest multiple of 128 that divides n, capped: halving from the cap
+    misses divisors like 2560 | 5120 and leaves a shallow many-chunk
+    pipeline whose per-step work cannot hide the grid overheads."""
+    for bn in range(min(cap, n), 127, -128):
+        if n % bn == 0:
+            return bn
+    return min(cap, n)
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "block_n", "interpret"))
-def _scoring_single(tr, pts, thr, block_s=512, block_n=2048, interpret=False):
+def _scoring_single(tr, pts, thr, block_s=512, block_n=8192, interpret=False):
     s = tr.shape[0]
     n = pts.shape[1]
     bs_ = min(block_s, s)
-    bn = min(block_n, n)
     while s % bs_ != 0:
         bs_ //= 2
-    while n % bn != 0:
-        bn //= 2
+    # the per-point tile is an [8, bn] strip (tiny in VMEM), so take the
+    # biggest legal chunk: fewer grid steps, deeper per-step work
+    bn = _largest_lane_divisor(n, block_n)
     thr_arr = jnp.asarray(thr, jnp.float32).reshape(1, 1)
     kw = {}
     if not interpret:

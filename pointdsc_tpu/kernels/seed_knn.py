@@ -12,16 +12,25 @@ step it computes the similarity tile on the MXU in VMEM (features are
 L2-normalized, so nearest-by-distance == largest inner product — a strictly
 monotone transform that preserves the exact index set), then extracts the
 chunk's top-k by k iterative masked argmax passes over the VMEM tile, and
-writes only the [bs, k] chunk winners (values + global indices). The global
-exact top-k is a subset of the union of per-chunk top-ks (the same
-hierarchy invariant as ops/knn.py::exact_topk), so a cheap second-stage
-exact selection over the [S, chunks*k] union finishes the job.
+writes only the chunk winners (values + global indices). The global exact
+top-k is a subset of the union of per-chunk top-ks (the same hierarchy
+invariant as ops/knn.py::exact_topk), so a cheap second-stage exact
+selection over the [S, chunks*k] union finishes the job.
 
-Cost model at S=2048, N=20480, k=40 on v5e: one f32 [S, C]x[C, N] matmul
-(~0.3 ms MXU) + k masked-argmax passes over each tile (~k*S*N VPU lane-ops,
-~1.5 ms) + ~40 MB of winner writes — ~6x cheaper than the sort-based path,
-with bit-identical index sets for distinct scores (under exact ties a
-value-equivalent tie subset may differ, same caveat as exact_topk).
+Layout (round-4 rewrite): the score tile is TRANSPOSED — candidates on the
+sublane axis, seeds on the lane axis. The k-loop's max/argmax then reduce
+over the SUBLANE axis (vreg-to-vreg ops, no cross-lane shuffle trees: a
+lane-axis reduction pays a ~log2(128)-step shuffle tail per vreg row,
+which dominated the round-3 kernel at ~3x the elementwise cost), and each
+winner lands in output ROW i as one static (1, bs) store instead of a
+(bs, 128) lane-select. Measured ~2.3x faster at S=512/N=5120 with the
+identical index contract.
+
+Cost model at S=2048, N=20480, k=40 on v5e: one f32 [N, C]x[C, S] matmul
+(~0.3 ms MXU) + k masked-argmax sublane passes over each tile + winner
+writes — ~10x cheaper than the sort-based path, with bit-identical index
+sets for distinct scores (under exact ties a value-equivalent tie subset
+may differ, same caveat as exact_topk).
 """
 
 from __future__ import annotations
@@ -34,59 +43,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
-# winners per (row, chunk) are written in a lane-aligned [bs, KPAD] block;
-# k <= KPAD <= 128 keeps the write block a legal (8, 128)-multiple tile
-KPAD = 128
 
 
-def _make_kernel(k, bn):
+def _make_kernel(k, kp, bn):
     def kernel(
-        sf_ref,  # (bs, c) f32 seed-feature tile
-        cf_ref,  # (c, bn) f32 corr-feature chunk (pre-transposed)
-        sid_ref,  # (bs, 128) f32: col 0 = seed's own global index
-        mrow_ref,  # (8, bn) f32: row 0 = 0 valid / -1e30 invalid
-        vals_ref,  # (bs, KPAD) f32 out: chunk top-k values (desc)
-        idx_ref,  # (bs, KPAD) f32 out: global indices of the winners
+        cf_ref,  # (bn, c) f32 corr-feature chunk (natural layout)
+        sft_ref,  # (c, bs) f32 seed features, transposed
+        sid_ref,  # (8, bs) f32: row 0 = seed's own global index
+        mcol_ref,  # (bn, 128) f32: col 0 = 0 valid / -1e30 invalid
+        vals_ref,  # (kp, bs) f32 out: chunk top-k values (desc, rows 0..k-1)
+        idx_ref,  # (kp, bs) f32 out: global indices of the winners
     ):
         nj = pl.program_id(1)
         f32 = jnp.float32
         scores = jax.lax.dot_general(
-            sf_ref[:], cf_ref[:], (((1,), (0,)), ((), ())),
+            cf_ref[:], sft_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )  # (bs, bn) inner products
-        # Mosaic iota must be integer; cast where f32 values are needed
-        ii = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        cols = ii.astype(f32) + f32(bn * nj)
-        # self-exclusion (the reference drops the k+1 self column) at the
-        # -3e38 floor tier so the self column loses even to masked columns
-        # (which sit at exactly -1e30) and is never returned
-        scores = jnp.where(cols == sid_ref[:, 0:1], f32(-3e38), scores)
-        scores = scores + mrow_ref[0:1, :]
+        )  # (bn, bs): candidate rows x seed lanes
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        gcols = rows.astype(f32) + f32(bn * nj)
+        # mask bias first (invalid candidates sit at exactly -1e30), then
+        # the self column at the -3e38 floor tier so the seed's own row
+        # loses even to masked candidates and is never returned
+        scores = scores + mcol_ref[:, 0:1]
+        scores = jnp.where(gcols == sid_ref[0:1, :], f32(-3e38), scores)
 
-        # padding lanes start at -3e38: strictly below any real candidate
-        # (masked/self columns score exactly -1e30), so under heavy padding
-        # the union stage still returns real column indices — never the
-        # fabricated index 0 a -1e30 tie could promote
-        vals = jnp.full((scores.shape[0], KPAD), f32(-3e38), f32)
-        idxs = jnp.zeros((scores.shape[0], KPAD), f32)
-        # lane-mask select instead of dynamic_update_slice: the latter has
-        # no Pallas TPU lowering (even with constant offsets); writing
-        # winner i into lane i via an iota compare is a pure vector select
-        lane = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], KPAD), 1)
         for i in range(k):
-            m = jnp.max(scores, axis=-1, keepdims=True)  # (bs, 1)
-            am = jnp.argmax(scores, axis=-1)[:, None]  # (bs, 1) int32
-            sel = lane == i
-            vals = jnp.where(sel, m, vals)
-            idxs = jnp.where(sel, am.astype(f32) + f32(bn * nj), idxs)
-            # exclude the winner at the -3e38 floor tier: setting it to
-            # -1e30 would TIE with still-unselected masked columns and make
-            # argmax return the same column forever (duplicate neighbors
-            # when fewer than k valid candidates exist)
-            hit = ii == am
-            scores = jnp.where(hit, f32(-3e38), scores)
-        vals_ref[:] = vals
-        idx_ref[:] = idxs
+            m = jnp.max(scores, axis=0)  # (bs,) sublane-axis reduce
+            am = jnp.argmax(scores, axis=0)  # (bs,) int32
+            vals_ref[i, :] = m
+            idx_ref[i, :] = am.astype(f32) + f32(bn * nj)
+            # exclude the winner at the -3e38 floor tier: -1e30 would TIE
+            # with still-unselected masked candidates and duplicate them
+            # when fewer than k valid candidates exist
+            scores = jnp.where(rows == am[None, :], f32(-3e38), scores)
+        for i in range(k, kp):  # sublane padding rows: strictly below real
+            vals_ref[i, :] = jnp.full((scores.shape[1],), f32(-3e38), f32)
+            idx_ref[i, :] = jnp.zeros((scores.shape[1],), f32)
 
     return kernel
 
@@ -95,39 +88,40 @@ def _make_kernel(k, bn):
     jax.jit, static_argnames=("k", "block_s", "block_n", "interpret")
 )
 def _seed_knn_single(
-    seed_feats, corr_feats_t, seed_ids, mask_row, k,
-    block_s=256, block_n=1024, interpret=False,
+    corr_feats, seed_feats_t, seed_ids, mask_col, k,
+    block_s=512, block_n=1024, interpret=False,
 ):
-    s, c = seed_feats.shape
-    n = corr_feats_t.shape[1]
+    n, c = corr_feats.shape
+    s = seed_feats_t.shape[1]
     bs, bn = min(block_s, s), min(block_n, n)
     while s % bs:
         bs //= 2
     while n % bn:
         bn //= 2
     n_chunks = n // bn
+    kp = -(-k // 8) * 8  # winner rows padded to a legal sublane multiple
     vals, idxs = pl.pallas_call(
-        _make_kernel(k, bn),
+        _make_kernel(k, kp, bn),
         grid=(s // bs, n_chunks),
         in_specs=[
-            pl.BlockSpec((bs, c), lambda si, nj: (si, 0)),
-            pl.BlockSpec((c, bn), lambda si, nj: (0, nj)),
-            pl.BlockSpec((bs, 128), lambda si, nj: (si, 0)),
-            pl.BlockSpec((8, bn), lambda si, nj: (0, nj)),
+            pl.BlockSpec((bn, c), lambda si, nj: (nj, 0)),
+            pl.BlockSpec((c, bs), lambda si, nj: (0, si)),
+            pl.BlockSpec((8, bs), lambda si, nj: (0, si)),
+            pl.BlockSpec((bn, 128), lambda si, nj: (nj, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bs, KPAD), lambda si, nj: (si, nj)),
-            pl.BlockSpec((bs, KPAD), lambda si, nj: (si, nj)),
+            pl.BlockSpec((kp, bs), lambda si, nj: (nj, si)),
+            pl.BlockSpec((kp, bs), lambda si, nj: (nj, si)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((s, n_chunks * KPAD), jnp.float32),
-            jax.ShapeDtypeStruct((s, n_chunks * KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * kp, s), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * kp, s), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=interpret,
-    )(seed_feats, corr_feats_t, seed_ids, mask_row)
+    )(corr_feats, seed_feats_t, seed_ids, mask_col)
     return vals, idxs
 
 
@@ -153,36 +147,32 @@ def seed_knn_exact(features, seeds, k, mask=None, interpret=None):
         raise ValueError(
             f"seed_knn_exact: N={n} exceeds the f32 index carry (2^24)."
         )
-    if k > KPAD:
-        # the per-chunk winner block is KPAD lanes wide; iterations past it
-        # would clamp onto column KPAD-1 and silently drop candidates
-        raise ValueError(
-            f"seed_knn_exact: k={k} exceeds the kernel's KPAD={KPAD} winner "
-            "block; use the XLA exact_topk path for larger k."
-        )
     s = seeds.shape[1]
-    # pad the seed axis up to the row-tile multiple
-    bs = min(256, s)
-    s_pad = -(-s // bs) * bs
+    # pad the seed axis up to the lane-tile multiple; the lane block must
+    # both divide s_pad and stay a multiple of 128
+    s_pad = -(-s // 128) * 128
+    bs = min(512, s_pad)
+    while s_pad % bs:
+        bs -= 128
 
-    def one(f, sd, mrow):
+    def one(f, sd, mcol):
         sf = jnp.take(f, sd, axis=0)  # [S, C]
         sf = jnp.pad(sf, ((0, s_pad - s), (0, 0)))
-        sid = jnp.zeros((s_pad, 128), jnp.float32)
-        sid = sid.at[:s, 0].set(sd.astype(jnp.float32))
+        sid = jnp.zeros((8, s_pad), jnp.float32)
+        sid = sid.at[0, :s].set(sd.astype(jnp.float32))
         vals, idxs = _seed_knn_single(
-            sf, f.T, sid, mrow, k, block_s=bs, interpret=interpret
+            f, sf.T, sid, mcol, k, block_s=bs, interpret=interpret
         )
-        # union of per-chunk winners -> exact second stage. Only the first
-        # k of each KPAD-wide block are real; the padding lanes hold -3e38,
-        # strictly below every real candidate (masked/self columns carry
-        # exactly -1e30), so they can never enter the top-k.
-        i2 = exact_topk(vals[:s], k)
-        return jnp.take_along_axis(idxs[:s], i2, axis=-1).astype(jnp.int32)
+        # union of per-chunk winners -> exact second stage, back in seed-
+        # row-major layout. Sublane padding rows hold -3e38, strictly below
+        # every real candidate (masked/self carry exactly -1e30), so they
+        # can never enter the top-k.
+        i2 = exact_topk(vals.T[:s], k)
+        return jnp.take_along_axis(idxs.T[:s], i2, axis=-1).astype(jnp.int32)
 
     if mask is None:
-        mrow = jnp.zeros((b, 8, n), jnp.float32)
+        mcol = jnp.zeros((b, n, 128), jnp.float32)
     else:
-        mrow = jnp.zeros((b, 8, n), jnp.float32)
-        mrow = mrow.at[:, 0, :].set(jnp.where(mask, 0.0, _NEG))
-    return jax.vmap(one)(features, seeds, mrow)
+        mcol = jnp.zeros((b, n, 128), jnp.float32)
+        mcol = mcol.at[:, :, 0].set(jnp.where(mask, 0.0, _NEG))
+    return jax.vmap(one)(features, seeds, mcol)
