@@ -363,6 +363,21 @@ def main():
                 "metric": "pointdsc_e2e_pair_time_n12k", "error": str(e)[:200]
             }))
         try:
+            t20k = bench_large_n(20480, chain=16)
+            print(json.dumps({
+                "metric": "pointdsc_e2e_pair_time_n20k",
+                "value": round(t20k * 1000, 3),
+                "unit": "ms",
+                "vs_baseline": None,  # multiway regime; no reference time
+                "variant": "fused_approx_knn",
+                "note": "Redwood multiway size (ref test_multi_ate.py:245 "
+                        "uses N=20000), chained-dispatch timing",
+            }))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "pointdsc_e2e_pair_time_n20k", "error": str(e)[:200]
+            }))
+        try:
             tstep, bs, spread = bench_train_step()
             print(json.dumps({
                 "metric": "pointdsc_train_step_bs16_n1000",

@@ -389,9 +389,18 @@ def _fused_layer_split_single(
     per query row of tiles) + the compat stream + out write — the ~10
     per-op XLA round-trips of the unfused path collapse into two passes.
 
-    Tiles swept on v5e at N=20480 (tools/tune_layer_split.py): 2048x1024 =
-    0.865 ms/layer vs 0.990 for 1024x1024 (bigger query tiles halve the
-    k/v re-streaming); 2048x2048 exceeds VMEM.
+    Tiles swept on v5e at N=20480 (tools/tune_layer_split.py, round-4
+    re-measurement on the working kernel): 4096x1024 = 1.121 ms/layer
+    standalone vs 1.181 for 2048x1024 and 1.210 for 1024x1024 (bigger
+    query tiles cut the k/v re-streaming), but bq=4096 needs a ~32 MB
+    scoped-VMEM window that triggers compile-time OOM flakiness in the
+    full e2e graph and measured slightly WORSE end-to-end, so 2048x1024
+    stays the default. Phase B runs at ~96% of the bf16 MXU roofline
+    (the two N^2 C matmuls cost 1.08 ms/layer at v5e's 197 TFLOPs peak),
+    so the layer time is compute-bound, not a tuning gap: int8 MXU (2x
+    peak) was measured to be a wash because the per-element dequant work
+    on the N^2 logits costs more VPU time than the MXU time it saves
+    (round-4 probes).
     """
     n, c = x.shape
     bq, bk = min(block_q, n), min(block_k, n)
@@ -434,10 +443,12 @@ def _fused_layer_split_single(
         # the 2048x1024 tile set sits ~75 KB above the default 16 MB scoped
         # VMEM window once double-buffering is counted; v5e has 128 MB of
         # physical VMEM, so widen the scope rather than shrink the tiles
-        # (1024x1024 measured 14% slower, tools/tune_layer_split.py)
+        # (1024x1024 measured 14% slower, tools/tune_layer_split.py).
+        # Scale the window with the query tile: bq=4096 needs ~32 MB.
+        vmem_mb = 24 if bq <= 2048 else 24 + (bq // 2048) * 8
         kw["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=24 * 1024 * 1024,
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
         )
     kernel = _make_attn_mlp_kernel(c, has_bias, n // bk)
     return pl.pallas_call(

@@ -118,3 +118,66 @@ def pick_seeds_nms_fused(src, scores, radius, max_num, mask=None,
         key = jnp.where(mask, key, -jnp.inf)
     _, idx = jax.lax.top_k(key, max_num)
     return idx
+
+
+def pick_seeds_nms_prefiltered(src, scores, radius, max_num, mask=None,
+                               prefilter=None, interpret=None):
+    """Exact NMS seed picking through a top-M score prefilter (large-N path).
+
+    Any suppressor of a top-M-scored point has a strictly higher score and is
+    therefore itself inside the top-M set, so local-max flags computed within
+    that subset are exact for its members. The selection is provably equal to
+    the full-N result whenever the max_num-th selected key STRICTLY exceeds
+    max(tau_M, 0), where tau_M is the M-th raw score: an outside point's key
+    is its raw score (< tau_M) if unsuppressed and exactly 0 if suppressed,
+    and the strict inequality also forbids cross-boundary ties (including the
+    all-zeros tail when fewer than max_num positive local maxima exist, where
+    the reference's index-order tie-break would otherwise be unreproducible).
+    When the certificate fails the full O(N^2) kernel runs inside lax.cond —
+    still exact, just at the unfiltered cost.
+
+    At N=20480/S=2048 the full kernel costs ~1.0 ms on v5e (the K=3 distance
+    matmul occupies the MXU like a K=128 one); the prefiltered path costs
+    ~0.45 ms (top-8192 0.24 ms + the kernel on 16% of the tile grid).
+    """
+    n = src.shape[-2]
+    if prefilter is None:
+        prefilter = -(-max(4 * max_num, 4096) // 1024) * 1024
+    if 2 * prefilter > n:
+        # the prefilter only pays for itself when it prunes most of the
+        # tile grid; below ~2x it just adds a top-M pass
+        return pick_seeds_nms_fused(src, scores, radius, max_num, mask=mask,
+                                    interpret=interpret)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = prefilter
+    has_mask = mask is not None
+
+    def one(s, sc, msk):
+        sc_ranked = jnp.where(msk, sc, -jnp.inf) if has_mask else sc
+        vals_m, idx_m = jax.lax.top_k(sc_ranked, m)
+        tau_m = vals_m[-1]
+        sub = (jnp.take(s, idx_m, axis=0), jnp.take(sc, idx_m, axis=0),
+               jnp.take(msk, idx_m, axis=0))
+        geom = pack_nms_geometry(sub[0], sub[1], sub[2] if has_mask else None)
+        flags = _nms_local_max_single(geom, radius, interpret=interpret)
+        key_m = sub[1] * flags
+        if has_mask:
+            key_m = jnp.where(sub[2], key_m, -jnp.inf)
+        kvals, kidx = jax.lax.top_k(key_m, max_num)
+        certificate = kvals[-1] > jnp.maximum(tau_m, 0.0)
+        return jnp.take(idx_m, kidx), certificate
+
+    msk = mask if has_mask else jnp.ones(scores.shape, bool)
+    pre_idx, certs = jax.vmap(one)(src, scores, msk)
+
+    # ONE scalar cond for the whole batch: a vmapped lax.cond lowers to a
+    # select that executes BOTH branches, which would run the full O(N^2)
+    # kernel on every call and make the prefilter a pure overhead. With the
+    # scalar predicate the fallback executes only when some batch element's
+    # certificate fails (then the whole batch pays the full kernel).
+    def full_batch(_):
+        return pick_seeds_nms_fused(src, scores, radius, max_num,
+                                    mask=mask, interpret=interpret)
+
+    return jax.lax.cond(jnp.all(certs), lambda _: pre_idx, full_batch, None)

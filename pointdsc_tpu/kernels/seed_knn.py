@@ -89,8 +89,13 @@ def _make_kernel(k, kp, bn):
 )
 def _seed_knn_single(
     corr_feats, seed_feats_t, seed_ids, mask_col, k,
-    block_s=512, block_n=1024, interpret=False,
+    block_s=512, block_n=2048, interpret=False,
 ):
+    # block_n swept on v5e at S=2048/N=20480 (round 4): bn=2048 runs the
+    # k-loop 2.25 ms vs 3.15 for bn=1024 (fewer chunks amortize the
+    # 40 winner stores and halve the union width); bn=4096 fails to
+    # compile. N not divisible by 2048 (e.g. the n5k flagship) halves
+    # back to 1024 below, unchanged from round 3.
     n, c = corr_feats.shape
     s = seed_feats_t.shape[1]
     bs, bn = min(block_s, s), min(block_n, n)

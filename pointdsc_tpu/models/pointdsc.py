@@ -258,9 +258,9 @@ class PointDSC(nn.Module):
         num_seeds = max(1, int(num_corr * self.ratio))
         if testing:
             if src_dist is None:  # fused path: tile-wise NMS from coordinates
-                from pointdsc_tpu.kernels.nms import pick_seeds_nms_fused
+                from pointdsc_tpu.kernels.nms import pick_seeds_nms_prefiltered
 
-                seeds = pick_seeds_nms_fused(
+                seeds = pick_seeds_nms_prefiltered(
                     jax.lax.stop_gradient(src_keypts), confidence,
                     self.nms_radius, num_seeds, mask=mask,
                 )

@@ -3,7 +3,11 @@
 import numpy as np
 import jax.numpy as jnp
 
-from pointdsc_tpu.kernels.nms import nms_local_max, pick_seeds_nms_fused
+from pointdsc_tpu.kernels.nms import (
+    nms_local_max,
+    pick_seeds_nms_fused,
+    pick_seeds_nms_prefiltered,
+)
 from pointdsc_tpu.ops.knn import pairwise_dists
 from pointdsc_tpu.ops.nms import pick_seeds_nms
 
@@ -36,3 +40,40 @@ class TestFusedNMS:
             pick_seeds_nms(dists, scores, 0.3, 20, mask=mask)
         )
         assert set(seeds_fused[0].tolist()) == set(seeds_ref[0].tolist())
+
+    def test_prefiltered_matches_full(self, rng):
+        """Top-M prefilter returns the exact full-N selection (certificate
+        path), incl. under masking."""
+        n, s = 4096, 128
+        src = jnp.asarray(rng.uniform(-1, 1, (1, n, 3)).astype(np.float32))
+        scores = jnp.asarray(rng.uniform(0.01, 1.0, (1, n)).astype(np.float32))
+        mask = jnp.asarray(np.arange(n) < 3500)[None]
+        pre = np.asarray(pick_seeds_nms_prefiltered(
+            src, scores, 0.2, s, mask=mask, prefilter=1024, interpret=True))
+        full = np.asarray(pick_seeds_nms_fused(
+            src, scores, 0.2, s, mask=mask, interpret=True))
+        np.testing.assert_array_equal(pre, full)
+
+    def test_prefiltered_fallback_when_maxima_scarce(self, rng):
+        """A dense cluster suppresses nearly everything: the certificate
+        fails (selected keys hit the zero tier) and the lax.cond fallback
+        must reproduce the full-N result exactly."""
+        n, s = 2048, 256
+        # all points inside one NMS ball -> a single local max
+        src = jnp.asarray(rng.uniform(-0.01, 0.01, (1, n, 3)).astype(np.float32))
+        scores = jnp.asarray(rng.uniform(0.01, 1.0, (1, n)).astype(np.float32))
+        pre = np.asarray(pick_seeds_nms_prefiltered(
+            src, scores, 0.2, s, prefilter=1024, interpret=True))
+        full = np.asarray(pick_seeds_nms_fused(
+            src, scores, 0.2, s, interpret=True))
+        np.testing.assert_array_equal(pre, full)
+
+    def test_prefiltered_small_n_delegates(self, rng):
+        n, s = 512, 16
+        src = jnp.asarray(rng.uniform(-1, 1, (1, n, 3)).astype(np.float32))
+        scores = jnp.asarray(rng.normal(size=(1, n)).astype(np.float32))
+        pre = np.asarray(pick_seeds_nms_prefiltered(
+            src, scores, 0.3, s, interpret=True))
+        full = np.asarray(pick_seeds_nms_fused(
+            src, scores, 0.3, s, interpret=True))
+        np.testing.assert_array_equal(pre, full)

@@ -99,11 +99,14 @@ def main():
             )
         return fn
 
-    # 1. cache build alone
+    # 1. cache build alone. Consume via a strided slice: XLA cannot DCE
+    # part of a pallas_call output, so the full build runs, but nothing
+    # O(N^2) is re-written or re-read by the consumer (an int32 astype
+    # here once cost 4 ms/pair of phantom "cache time" at N=20480).
     timed("compat int8 cache", mapped(
         lambda cp, s, t: build_compat_cache_int8(
             s[None], t[None], 0.1
-        ).astype(jnp.int32)  # cheap consume
+        )[..., ::256, ::256].astype(jnp.int32)
     ))
 
     # 2. cache + whole-layer fused encoder

@@ -83,8 +83,14 @@ def main():
         ms = (np.median(ts) - np.median(rs)) * 1000
         print(f"bq={bq} bk={bk}: {ms / total:.3f} ms/layer", flush=True)
 
-    for bq, bk in [(1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048),
-                   (512, 2048)]:
+    default = [(1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048),
+               (512, 2048), (4096, 1024), (4096, 512), (4096, 2048)]
+    env = os.environ.get("TUNE_TILES")
+    tiles = (
+        [tuple(int(v) for v in t.split("x")) for t in env.split(",")]
+        if env else default
+    )
+    for bq, bk in tiles:
         if n % bq or n % bk:
             continue
         bench(bq, bk)
