@@ -25,13 +25,20 @@ Baseline: the reference paper reports ~0.09 s per pair model time on GPU
 (BASELINE.md "Per-pair model time"). vs_baseline = baseline / ours, so > 1
 means faster than the reference.
 
-Round-3 extension (VERDICT r2 item 8): besides the flagship N=5120 line the
-bench also emits one JSON line per additional regime so the driver-captured
-record can show regressions beyond the flagship:
-  - pointdsc_e2e_pair_time_n12k  (KITTI eval size, chained-dispatch timing)
+Besides the flagship N=5120 line the bench emits one JSON line per
+additional regime so the driver-captured record can show regressions
+beyond the flagship:
+  - pointdsc_e2e_pair_time_n12k  (KITTI eval size)
+  - pointdsc_e2e_pair_time_n20k  (Redwood multiway size)
   - pointdsc_train_step_bs16_n1000 (fused-attention training step)
-The FLAGSHIP line is printed LAST. Set BENCH_FLAGSHIP_ONLY=1 to skip the
-extra regimes (keeps the run short for interactive use).
+Round-5 methodology (VERDICT r4 item 1): these three lines loop ON DEVICE
+(lax.fori_loop, one dispatch covers all iterations) with 5 reps, per-rep
+spreads, and a double-length differencing cross-check that cancels the
+tunnel RTT exactly — see _loop_measure. The large-N lines report the
+EXACT pipeline as the headline value with the approx-knn variant
+alongside (same policy as the flagship). The FLAGSHIP line is printed
+LAST. Set BENCH_FLAGSHIP_ONLY=1 to skip the extra regimes (keeps the run
+short for interactive use).
 """
 
 import json
@@ -99,89 +106,106 @@ def chip_peak_flops(device_str: str) -> float | None:
     return None
 
 
-def bench_large_n(n_corr=12288, chain=24):
-    """Per-pair fused inference at KITTI eval size via chained async
-    dispatches (single dispatches drown in tunnel-RTT variance; lax.map
-    programs at this N exceed the compile budget). Mirrors
-    tools/bench_large_n.py."""
+def _loop_measure(run, args, iters=16, iters_short=4, reps=5):
+    """Time a jitted on-device loop `run(*args, iters)` (dynamic trip
+    count, so ONE compile serves both lengths). Returns per-iteration
+    medians + spreads by two independent estimators:
+      - rtt_sub: (wall(iters) - interleaved RTT median) / iters
+      - diff:    (median wall(iters) - median wall(iters_short))
+                 / (iters - iters_short)  -- cancels the RTT and any fixed
+                 dispatch cost entirely; pure device time per iteration.
+    Round-5 methodology (VERDICT r4 item 1): the round-4 scheme chained
+    PYTHON dispatches, which stalls when the tunnel throttles dispatch
+    streaming (observed: identical code, 6.7 vs 12.7 ms on the same chip
+    35 min apart). The loop now lives ON DEVICE (lax.fori_loop), so one
+    dispatch covers all iterations and the tunnel can only shift the
+    constant term, which both estimators remove."""
+    long_w, short_w, per_rtt = [], [], []
+    for _ in range(reps):
+        r = measure_rtt()
+        t0 = time.perf_counter()
+        fetch(run(*args, iters))
+        long_w.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fetch(run(*args, iters_short))
+        short_w.append(time.perf_counter() - t0)
+        per_rtt.append(r)
+    rtt_sub = [max(w - r, 0.0) / iters for w, r in zip(long_w, per_rtt)]
+    diff = (float(np.median(long_w)) - float(np.median(short_w))) / (
+        iters - iters_short
+    )
+    return {
+        "per_iter": float(np.median(rtt_sub)),
+        "spread": rtt_sub,
+        "device_diff": max(diff, 0.0),
+    }
+
+
+def bench_large_n(n_corr=12288, iters=16):
+    """Per-pair fused inference at KITTI/Redwood eval sizes, measured with
+    an ON-DEVICE lax.fori_loop cycling 4 resident pairs (see _loop_measure
+    for why: python-dispatch chains are tunnel-sensitive). Both the EXACT
+    pipeline (fused seed-kNN kernel + exact NMS) and the approx_knn variant
+    (recall 0.95) are measured; the headline is the exact one, per the
+    flagship policy above. Mirrors tools/bench_large_n.py."""
     import jax
     import jax.numpy as jnp
 
     from pointdsc_tpu.data.synthetic import SyntheticPairDataset
     from pointdsc_tpu.models.pointdsc import PointDSC
 
-    model = PointDSC(
-        in_dim=6, num_layers=NUM_LAYERS, num_channels=NUM_CHANNELS, k=40,
-        ratio=0.1, approx_knn=True,
-    )
     ds = SyntheticPairDataset(num_pairs=4, num_corr=n_corr, inlier_ratio=0.3,
                               seed=3)
-    batches = [
-        (
-            jnp.asarray(ds[i]["corr_pos"])[None],
-            jnp.asarray(ds[i]["src_keypts"])[None],
-            jnp.asarray(ds[i]["tgt_keypts"])[None],
-        )
-        for i in range(4)
-    ]
+    stack = tuple(
+        jnp.asarray(np.stack([ds[i][key] for i in range(4)]))
+        for key in ("corr_pos", "src_keypts", "tgt_keypts")
+    )
     s0 = SyntheticPairDataset(num_pairs=1, num_corr=1024, seed=0)[0]
-    variables = model.init(
-        jax.random.key(0),
-        jnp.asarray(s0["corr_pos"])[None],
-        jnp.asarray(s0["src_keypts"])[None],
-        jnp.asarray(s0["tgt_keypts"])[None],
-    )
 
-    trivial, tiny = _RTT_STATE["fn"], _RTT_STATE["arg"]
-
-    def chain_overhead():
-        ts_, rt_ = [], []
-        for _ in range(3):
-            rt_.append(measure_rtt())
-            c = tiny
-            t0 = time.perf_counter()
-            for _ in range(chain):
-                c = trivial(c)
-            float(c[0])
-            ts_.append(time.perf_counter() - t0)
-        return max(float(np.median(ts_)) - float(np.median(rt_)), 0.0) / chain
-
-    @jax.jit
-    def fwd(cp, s, t, carry):
-        out = model.apply(
-            variables, cp + 0.0 * carry, s, t, testing=True,
-            fused_attention=True,
+    results = {}
+    for name, approx in (("exact", False), ("approx", True)):
+        model = PointDSC(
+            in_dim=6, num_layers=NUM_LAYERS, num_channels=NUM_CHANNELS, k=40,
+            ratio=0.1, approx_knn=approx,
         )
-        return out.final_trans[0, 0, 0]
+        variables = model.init(
+            jax.random.key(0),
+            jnp.asarray(s0["corr_pos"])[None],
+            jnp.asarray(s0["src_keypts"])[None],
+            jnp.asarray(s0["tgt_keypts"])[None],
+        )
 
-    np.asarray(fwd(*batches[0], jnp.asarray(0.0)))  # compile
-    overhead = chain_overhead()
-    ts, rts = [], []
-    for _ in range(3):
-        rts.append(measure_rtt())
-        c = jnp.asarray(0.0)
-        t0 = time.perf_counter()
-        for i in range(chain):
-            c = fwd(*batches[i % 4], c)
-        float(c)
-        ts.append(time.perf_counter() - t0)
-    return max(
-        (float(np.median(ts)) - float(np.median(rts))) / chain - overhead, 1e-9
-    )
+        @jax.jit
+        def run(cp, s, t, n_iters, model=model, variables=variables):
+            def body(i, c):
+                b = i % 4
+                out = model.apply(
+                    variables,
+                    jax.lax.dynamic_index_in_dim(cp, b) + 0.0 * c,
+                    jax.lax.dynamic_index_in_dim(s, b),
+                    jax.lax.dynamic_index_in_dim(t, b),
+                    testing=True, fused_attention=True,
+                )
+                return out.final_trans[0, 0, 0]
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.asarray(0.0))
+
+        fetch(run(*stack, iters))  # compile
+        results[name] = _loop_measure(run, stack, iters=iters)
+    return results
 
 
-def bench_train_step(chain=12, reps=5):
+def bench_train_step(iters=16, reps=5):
     """Fused-attention training step at the reference shape (bs=16, N=1000):
     forward + 3 losses + backward + guarded Adam, one jitted program.
 
-    Round-4 methodology fix (VERDICT r3 weak #3): the round-2/3 versions
-    timed SINGLE dispatches and subtracted the RTT median, so each rep's
-    error was one full RTT draw (which drifts by several ms) on top of a
-    ~12-19 ms step — hence the 19.1 ms capture vs 12.7 ms interactive
-    re-measurement. Steps now chain through the state dependency (`chain`
-    dispatches enqueued async, one terminal fetch), the same scheme
-    bench_large_n uses, so the RTT is amortized 1/chain and the per-rep
-    spread is reported alongside the median."""
+    Round-5 methodology fix (VERDICT r4 item 1): steps loop ON DEVICE via
+    lax.fori_loop, alternating 2 resident batches, with the state carried
+    through the loop — see _loop_measure. The returned scalar depends on
+    every param leaf so the loop cannot be dead-code-eliminated. The
+    round-4 python-dispatch chain measured 13.17 ms for a step whose pure
+    device time is ~11 ms; the difference was tunnel dispatch-streaming
+    overhead, which this scheme removes."""
     import jax
     import jax.numpy as jnp
 
@@ -204,34 +228,27 @@ def bench_train_step(chain=12, reps=5):
     state = trainer.init_state(batches[0], steps_per_epoch=100)
     trainer.build_steps()
     ep = jnp.asarray(1)
-    state, m = trainer._train_step(state, batches[0], ep)
-    float(m["loss"])  # compile
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), batches[1], batches[2]
+    )
 
-    trivial, tiny = _RTT_STATE["fn"], _RTT_STATE["arg"]
+    @jax.jit
+    def run(st, stacked, n_iters):
+        def body(i, st):
+            b = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False),
+                stacked,
+            )
+            st2, _ = trainer._train_step(st, b, ep)
+            return st2
 
-    def chain_overhead():
-        ts_, rt_ = [], []
-        for _ in range(3):
-            rt_.append(measure_rtt())
-            c = tiny
-            t0 = time.perf_counter()
-            for _ in range(chain):
-                c = trivial(c)
-            float(c[0])
-            ts_.append(time.perf_counter() - t0)
-        return max(float(np.median(ts_)) - float(np.median(rt_)), 0.0) / chain
+        out = jax.lax.fori_loop(0, n_iters, body, st)
+        # depend on every param leaf so nothing is dead-code-eliminated
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out.params))
 
-    overhead = chain_overhead()
-    per_step = []
-    for r in range(reps):
-        rtt = measure_rtt()
-        t0 = time.perf_counter()
-        for i in range(chain):
-            state, m = trainer._train_step(state, batches[1 + (r + i) % 2], ep)
-        float(m["loss"])
-        wall = time.perf_counter() - t0
-        per_step.append(max((wall - rtt) / chain - overhead, 1e-9))
-    return float(np.median(per_step)), bs, per_step
+    fetch(run(state, stacked, iters))  # compile
+    r = _loop_measure(run, (state, stacked), iters=iters, reps=reps)
+    return r, bs
 
 
 def main():
@@ -348,37 +365,39 @@ def main():
     # ---- additional regime lines (before the flagship so the driver's
     # last-line parse still lands on the headline metric)
     if on_tpu and not os.environ.get("BENCH_FLAGSHIP_ONLY"):
+        for n_corr, metric, note in (
+            (12288, "pointdsc_e2e_pair_time_n12k",
+             "KITTI eval size; on-device fori_loop timing"),
+            (20480, "pointdsc_e2e_pair_time_n20k",
+             "Redwood multiway size (ref test_multi_ate.py:245 uses "
+             "N=20000); on-device fori_loop timing"),
+        ):
+            try:
+                r = bench_large_n(n_corr)
+                ex, ap = r["exact"], r["approx"]
+                print(json.dumps({
+                    "metric": metric,
+                    "value": round(ex["per_iter"] * 1000, 3),
+                    "unit": "ms",
+                    "vs_baseline": None,  # the reference publishes no time here
+                    "variant": "fused_exact",
+                    "rep_spread_ms": [
+                        round(t * 1000, 2) for t in ex["spread"]
+                    ],
+                    "device_time_crosscheck_ms": round(
+                        ex["device_diff"] * 1000, 3
+                    ),
+                    "approx_knn_ms": round(ap["per_iter"] * 1000, 3),
+                    "approx_rep_spread_ms": [
+                        round(t * 1000, 2) for t in ap["spread"]
+                    ],
+                    "note": note,
+                }))
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"metric": metric, "error": str(e)[:200]}))
         try:
-            t12k = bench_large_n(12288)
-            print(json.dumps({
-                "metric": "pointdsc_e2e_pair_time_n12k",
-                "value": round(t12k * 1000, 3),
-                "unit": "ms",
-                "vs_baseline": None,  # the reference publishes no 12k time
-                "variant": "fused_approx_knn",
-                "note": "KITTI eval size, chained-dispatch timing",
-            }))
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({
-                "metric": "pointdsc_e2e_pair_time_n12k", "error": str(e)[:200]
-            }))
-        try:
-            t20k = bench_large_n(20480, chain=16)
-            print(json.dumps({
-                "metric": "pointdsc_e2e_pair_time_n20k",
-                "value": round(t20k * 1000, 3),
-                "unit": "ms",
-                "vs_baseline": None,  # multiway regime; no reference time
-                "variant": "fused_approx_knn",
-                "note": "Redwood multiway size (ref test_multi_ate.py:245 "
-                        "uses N=20000), chained-dispatch timing",
-            }))
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({
-                "metric": "pointdsc_e2e_pair_time_n20k", "error": str(e)[:200]
-            }))
-        try:
-            tstep, bs, spread = bench_train_step()
+            r, bs = bench_train_step()
+            tstep = r["per_iter"]
             print(json.dumps({
                 "metric": "pointdsc_train_step_bs16_n1000",
                 "value": round(tstep * 1000, 3),
@@ -386,8 +405,11 @@ def main():
                 "vs_baseline": None,  # reference publishes no step time
                 "pairs_per_sec_per_chip": round(bs / tstep, 1),
                 "variant": "fused_attention",
-                "rep_spread_ms": [round(t * 1000, 2) for t in spread],
-                "note": "chained-dispatch (12 steps/rep), RTT amortized",
+                "rep_spread_ms": [round(t * 1000, 2) for t in r["spread"]],
+                "device_time_crosscheck_ms": round(
+                    r["device_diff"] * 1000, 3
+                ),
+                "note": "on-device fori_loop (16 steps), state carried",
             }))
         except Exception as e:  # noqa: BLE001
             print(json.dumps({

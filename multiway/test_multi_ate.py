@@ -28,6 +28,9 @@ def main(argv=None):
     parser.add_argument("--descriptor", default="fpfh", type=str)
     parser.add_argument("--num_node", default=20000, type=int)
     parser.add_argument("--use_icp", default=False, type=str2bool)
+    parser.add_argument("--fused", default="auto", type=str,
+                        choices=("auto", "true", "false"),
+                        help="fused-attention kernels: auto = on TPU only")
     parser.add_argument("--save_traj", default=False, type=str2bool,
                         help="write the optimized fragment trajectory to "
                              "logs/<scene>_traj.log (Redwood .log format)")
@@ -105,6 +108,7 @@ def main(argv=None):
                 jnp.asarray(padded["src_keypts"])[None],
                 jnp.asarray(padded["tgt_keypts"])[None],
             )
+            mask_in = jnp.asarray(padded["mask"])[None]
             if variables is None:
                 ckpt = f"snapshot/{args.chosen_snapshot}/models/model_best.pkl"
                 if args.chosen_snapshot and os.path.exists(ckpt):
@@ -112,19 +116,50 @@ def main(argv=None):
                 else:
                     variables = model.init(jax.random.key(0), *inputs)
 
-                fused = jax.default_backend() == "tpu"
+                fused = (
+                    jax.default_backend() == "tpu"
+                    if args.fused == "auto"
+                    else args.fused == "true"
+                )
+                regime_probes_left = 3 if fused else 0
 
-                @jax.jit
-                def forward(corr_pos, src, tgt, mask):
-                    out = model.apply(
-                        variables, corr_pos, src, tgt, mask=mask,
-                        testing=True, fused_attention=fused,
-                    )
-                    return out.final_trans
+            # Kernel-selection guard (models/regime.py): the fused path's
+            # offset-softmax kernels are exact only inside a validity
+            # regime; imported weights (load_model_weights above) or
+            # out-of-distribution fragments can leave it and would degrade
+            # SILENTLY toward uniform attention. Probe the first few pairs
+            # (slack is pair-dependent) and fall back to the running-max
+            # flash kernels on violation (VERDICT r4 item 3: this CLI used
+            # to jit model.apply directly, bypassing the Evaluator guard).
+            if fused and regime_probes_left > 0:
+                from pointdsc_tpu.models.regime import (
+                    select_attention_kernels,
+                )
 
-            trans = np.asarray(
-                forward(*inputs, jnp.asarray(padded["mask"])[None])
-            )[0]
+                regime_probes_left -= 1
+                model, _, flipped = select_attention_kernels(
+                    model, variables, *inputs, mask=mask_in,
+                    context="multiway",
+                )
+                if flipped:
+                    regime_probes_left = 0
+                    forward = None  # re-jit against the flipped model
+
+            if forward is None:
+                def make_forward(model, variables, fused):
+                    @jax.jit
+                    def forward(corr_pos, src, tgt, mask):
+                        out = model.apply(
+                            variables, corr_pos, src, tgt, mask=mask,
+                            testing=True, fused_attention=fused,
+                        )
+                        return out.final_trans
+
+                    return forward
+
+                forward = make_forward(model, variables, fused)
+
+            trans = np.asarray(forward(*inputs, mask_in))[0]
             pairwise[(i, j)] = trans
 
         mcfg = MultiwayConfig()

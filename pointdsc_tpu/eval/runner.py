@@ -52,7 +52,10 @@ class Evaluator:
         self._fused_attention = fused_attention
         self._solver = solver
         self._sp_mesh = sp_mesh
-        self._regime_checked = False
+        # the offset-softmax bound slack is pair-dependent, so the guard
+        # probes the first few pairs (not just the first — VERDICT r4
+        # item 7) in addition to the first pair of every shape bucket
+        self._regime_probes_left = 3
         self._build_forward()
         self._warmed_buckets: set[int] = set()
 
@@ -111,38 +114,36 @@ class Evaluator:
         self._forward = _forward
 
     def _guard_offset_regime(self, args):
-        """Checkpoint-load-time kernel selection (models/regime.py): the
-        offset-softmax eval kernels are exact only while the bound slack
-        stays inside the regime; weights imported from elsewhere carry no
-        such guarantee and would otherwise degrade SILENTLY toward uniform
-        attention. Measured once per eval run on the first pair; out of
-        regime flips the model to the running-max flash kernels (exact for
-        arbitrary weights) before any timed dispatch."""
-        if self._regime_checked:
-            return
-        self._regime_checked = True
+        """Checkpoint-load-time kernel selection (models/regime.py::
+        select_attention_kernels): the offset-softmax eval kernels are
+        exact only while the bound slack stays inside the regime; weights
+        imported from elsewhere carry no such guarantee and would
+        otherwise degrade SILENTLY toward uniform attention. The slack is
+        also pair-dependent, so the guard probes the first few pairs of
+        the run AND the first pair of every shape bucket (a single-pair
+        probe plus the 20-nat margin could miss a heterogeneous scene —
+        VERDICT r4 item 7); out of regime flips the model to the
+        running-max flash kernels (exact for arbitrary weights) before
+        any timed dispatch."""
         if not self._fused_attention or not self.model.offset_softmax:
-            return
-        from pointdsc_tpu.models.regime import (
-            OFFSET_REGIME_MAX_SLACK,
-            offset_regime_slack,
-        )
+            self._regime_probes_left = 0
+            return False
+        from pointdsc_tpu.models.regime import select_attention_kernels
 
+        self._regime_probes_left = max(self._regime_probes_left - 1, 0)
         corr_pos, src, tgt, mask = args
-        slack = offset_regime_slack(
-            self.model, self.variables, corr_pos, src, tgt, mask=mask
+        self.model, _, flipped = select_attention_kernels(
+            self.model, self.variables, corr_pos, src, tgt, mask=mask,
+            context="eval",
         )
-        if slack >= OFFSET_REGIME_MAX_SLACK:
-            print(
-                f"[eval] offset-softmax bound slack {slack:.1f} nats is "
-                f"outside the {OFFSET_REGIME_MAX_SLACK:.0f}-nat validity "
-                "regime (unconstrained/imported weights) — selecting the "
-                "running-max flash attention kernels instead"
-            )
-            self.model = self.model.clone(offset_softmax=False)
+        if flipped:
+            self._regime_probes_left = 0  # running-max kernels are exact
             self._build_forward()
             if hasattr(self, "_forward_batch_fn"):
                 del self._forward_batch_fn
+            # buckets were warmed against the old executables
+            self._warmed_buckets.clear()
+        return flipped
 
     def run_pair(self, sample: dict, scene_ind: int = 0, data_time: float = 0.0):
         """sample: un-padded dict from a dataset; returns a 12-col stats row."""
@@ -159,8 +160,9 @@ class Evaluator:
         # XLA compilation (the first pair of a bucket would otherwise report
         # tens of seconds)
         bucket = padded["corr_pos"].shape[0]
-        if bucket not in self._warmed_buckets:
+        if self._regime_probes_left > 0 or bucket not in self._warmed_buckets:
             self._guard_offset_regime(args)
+        if bucket not in self._warmed_buckets:
             # a host fetch is the only reliable sync on tunneled backends
             np.asarray(self._forward(*args)[0])
             self._warmed_buckets.add(bucket)
@@ -240,9 +242,13 @@ class Evaluator:
             # discarded warmup per shape bucket: col 9 is per-pair model
             # time and must not include XLA compilation (mirrors run_pair;
             # separate set — the batched executable is distinct from
-            # run_pair's bs=1 one)
+            # run_pair's bs=1 one). The regime guard probes the first few
+            # flushes too (each probe covers the whole n_dev-pair batch);
+            # a flip invalidates warmups done against the old executable.
+            if self._regime_probes_left > 0 or bucket not in warmed:
+                if self._guard_offset_regime(args):
+                    warmed.clear()
             if bucket not in warmed:
-                self._guard_offset_regime(args)
                 np.asarray(self._forward_batch(*args)[0])
                 warmed.add(bucket)
             t = Timer()

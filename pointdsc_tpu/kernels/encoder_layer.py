@@ -445,6 +445,10 @@ def _fused_layer_split_single(
         # physical VMEM, so widen the scope rather than shrink the tiles
         # (1024x1024 measured 14% slower, tools/tune_layer_split.py).
         # Scale the window with the query tile: bq=4096 needs ~32 MB.
+        # NOTE: the formula scales with bq only — the key-tile term (the
+        # [bq, bk] compat block + double-buffered k/v tiles) is sized for
+        # bk <= 1024, the only validated combos for bq > 2048; a larger bk
+        # needs its own window term or it may OOM at compile time.
         vmem_mb = 24 if bq <= 2048 else 24 + (bq // 2048) * 8
         kw["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

@@ -136,13 +136,24 @@ def pick_seeds_nms_prefiltered(src, scores, radius, max_num, mask=None,
     When the certificate fails the full O(N^2) kernel runs inside lax.cond —
     still exact, just at the unfiltered cost.
 
+    CALLER CONSTRAINT: must not itself be wrapped in vmap/pmap. Batching is
+    handled internally so the fallback cond stays SCALAR; an outer vmap
+    would lower the cond to a select that executes both branches on every
+    call, making the prefilter pure overhead (correct, just slow). A
+    multi-device wrapper should shard the batch axis (shard_map/pjit keep
+    the cond scalar per shard), not vmap it.
+
     At N=20480/S=2048 the full kernel costs ~1.0 ms on v5e (the K=3 distance
     matmul occupies the MXU like a K=128 one); the prefiltered path costs
     ~0.45 ms (top-8192 0.24 ms + the kernel on 16% of the tile grid).
     """
     n = src.shape[-2]
     if prefilter is None:
-        prefilter = -(-max(4 * max_num, 4096) // 1024) * 1024
+        prefilter = max(4 * max_num, 4096)
+    # the NMS kernel tiles at 512/1024 and top_k needs at least max_num
+    # candidates: round any (user-supplied) prefilter up to a 1024 multiple
+    # and clamp to >= max_num
+    prefilter = -(-max(prefilter, max_num) // 1024) * 1024
     if 2 * prefilter > n:
         # the prefilter only pays for itself when it prunes most of the
         # tile grid; below ~2x it just adds a top-M pass

@@ -126,6 +126,43 @@ def _encoder_slack(pt, compat_args, corr_pos, mask, num_layers, chunk):
     return worst
 
 
+def select_attention_kernels(
+    model, variables, corr_pos, src_keypts, tgt_keypts, mask=None,
+    context="eval",
+):
+    """Checkpoint-load-time kernel selection, shared by EVERY fused-
+    attention entry point (eval/runner.py Evaluator, multiway/
+    test_multi_ate.py — VERDICT r4 item 3 closed the multiway bypass).
+
+    Measures the offset-softmax bound slack of (model, variables) on the
+    probe pair(s) and returns ``(model, slack, flipped)``: the model
+    unchanged while the slack stays inside the validity regime, or cloned
+    with ``offset_softmax=False`` (the running-max flash kernels, exact
+    for arbitrary weights — reference softmax parity,
+    /root/reference/models/PointDSC.py:41-44) once it leaves it. Callers
+    must re-jit their forward whenever ``flipped`` is True, and should
+    probe several pairs (the slack is pair-dependent; the Evaluator
+    probes the first few pairs and the first pair of every shape bucket).
+
+    No-op (slack 0.0) when the model already runs running-max kernels.
+    """
+    if not model.offset_softmax:
+        return model, 0.0, False
+    slack = offset_regime_slack(
+        model, variables, corr_pos, src_keypts, tgt_keypts, mask=mask
+    )
+    if slack >= OFFSET_REGIME_MAX_SLACK:
+        print(
+            f"[{context}] offset-softmax bound slack {slack:.1f} nats is "
+            f"outside the {OFFSET_REGIME_MAX_SLACK:.0f}-nat validity "
+            "regime (unconstrained/imported weights or out-of-"
+            "distribution pair) — selecting the running-max flash "
+            "attention kernels instead"
+        )
+        return model.clone(offset_softmax=False), slack, True
+    return model, slack, False
+
+
 def offset_regime_slack(
     model, variables, corr_pos, src_keypts, tgt_keypts, mask=None,
     chunk=1024,

@@ -58,3 +58,62 @@ def test_multiway_cli_end_to_end(tmp_path, rng, monkeypatch):
     # near-perfect correspondences (shared latents) + odometry ICP must give
     # a globally consistent trajectory
     assert ates[0] < 10.0, f"ATE {ates[0]} cm"
+
+
+def test_multiway_cli_regime_guard_flips_for_imported_weights(
+    tmp_path, rng, monkeypatch, capsys
+):
+    """VERDICT r4 item 3: the multiway CLI used to jit model.apply with the
+    model-default offset_softmax=True and NO regime check, so imported
+    weights silently degraded toward uniform attention at N=20k. Drive the
+    CLI on a fake root with an inflated-norm checkpoint (the
+    tests/test_offset_regime.py adversary) and require the running-max
+    fallback to be selected."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from pointdsc_tpu.models.pointdsc import PointDSC
+    from pointdsc_tpu.train.config import default_config
+    from tests.test_offset_regime import _inflate_keys
+
+    root = str(tmp_path / "redwood")
+    write_fake_redwood(root, rng, num_frag=3, n_pts=300)
+
+    # snapshot with inflated-key weights in the CLI's on-disk format
+    cfg = default_config("3DMatch")
+    cfg.num_layers = 3
+    cfg.num_node = 256
+    snap = tmp_path / "snapshot" / "badsnap"
+    (snap / "models").mkdir(parents=True)
+    cfg.save(str(snap / "config.json"))
+    model = PointDSC(
+        in_dim=cfg.in_dim, num_layers=cfg.num_layers,
+        num_channels=cfg.num_channels, num_iterations=cfg.num_iterations,
+        ratio=cfg.ratio, sigma_d=cfg.sigma_d, k=cfg.k,
+        inlier_threshold=cfg.inlier_threshold,
+        nms_radius=cfg.inlier_threshold,
+    )
+    dummy = jnp.zeros((1, 256, 3), jnp.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 256, 6), jnp.float32), dummy, dummy
+    )
+    bad = _inflate_keys(variables, 100.0)
+    with open(snap / "models" / "model_best.pkl", "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": bad["params"], "batch_stats": bad["batch_stats"]}
+        ))
+
+    monkeypatch.chdir(tmp_path)
+    from multiway.test_multi_ate import main
+
+    ates = main([
+        "--root", root,
+        "--scenes", SCENE,
+        "--num_node", "256",
+        "--chosen_snapshot", "badsnap",
+        "--fused", "true",
+    ])
+    out = capsys.readouterr().out
+    assert "running-max flash" in out, out
+    assert len(ates) == 1 and np.isfinite(ates[0])

@@ -134,6 +134,31 @@ class TestEvaluatorGuard:
             np.asarray(out_flash.final_trans)[0], ref, rtol=0, atol=5e-3
         )
 
+    def test_second_pair_only_violation_flips(self):
+        # The slack is PAIR-dependent, not only weight-dependent: a probe
+        # of the first pair alone plus the 20-nat margin can miss a
+        # heterogeneous scene (VERDICT r4 item 7). The guard therefore
+        # probes the first few pairs; a violation appearing only on the
+        # SECOND pair (same shape bucket, so no bucket-warmup probe) must
+        # still flip the kernel selection.
+        from pointdsc_tpu.eval.runner import Evaluator
+
+        model, variables, args, s = _setup()
+        ev = Evaluator(model, variables, fused_attention=True)
+        ev.run_pair(dict(s))
+        assert ev.model.offset_softmax is True  # pair 1 in regime
+
+        # pair 2: same bucket, coordinates scaled x50 — activations (and
+        # with them the offset bound slack) blow up through the eval-mode
+        # BN, which normalizes with the frozen init statistics
+        bad = {
+            key: (np.asarray(s[key]) * 50.0 if key in
+                  ("corr_pos", "src_keypts", "tgt_keypts") else s[key])
+            for key in s
+        }
+        ev.run_pair(dict(bad))
+        assert ev.model.offset_softmax is False
+
     def test_offset_true_would_have_degraded(self):
         # sanity that the guard is actually load-bearing: with inflated
         # keys the offset kernels' attention diverges from dense
