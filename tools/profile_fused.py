@@ -45,11 +45,15 @@ def main():
         k: jnp.asarray(np.stack([s[k] for s in samples]))
         for k in ("corr_pos", "src_keypts", "tgt_keypts")
     }
+    # init at a small N: params are shape-independent, and a full dense
+    # init forward at N=20480 costs minutes of compile + GBs of HBM
+    # (same trick as bench.py's bench_large_n)
+    s0 = SyntheticPairDataset(num_pairs=1, num_corr=1024, seed=0)[0]
     variables = model.init(
         jax.random.key(0),
-        stream["corr_pos"][:1],
-        stream["src_keypts"][:1],
-        stream["tgt_keypts"][:1],
+        jnp.asarray(s0["corr_pos"])[None],
+        jnp.asarray(s0["src_keypts"])[None],
+        jnp.asarray(s0["tgt_keypts"])[None],
     )
 
     @jax.jit

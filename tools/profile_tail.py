@@ -30,8 +30,10 @@ def main():
     from pointdsc_tpu.models.pointdsc import PointDSC
 
     model = PointDSC(in_dim=6, num_layers=12, num_channels=128, k=K, ratio=0.1)
-    ds = SyntheticPairDataset(num_pairs=1, num_corr=N, inlier_ratio=0.3, seed=7)
-    s0 = ds[0]
+    # init at a small N: params are shape-independent, and a full dense
+    # init forward at N=20480 costs minutes of compile + GBs of HBM
+    # (same trick as bench.py's bench_large_n)
+    s0 = SyntheticPairDataset(num_pairs=1, num_corr=1024, seed=7)[0]
     cp = jnp.asarray(s0["corr_pos"])[None]
     sk = jnp.asarray(s0["src_keypts"])[None]
     tk = jnp.asarray(s0["tgt_keypts"])[None]
