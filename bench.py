@@ -56,8 +56,12 @@ NUM_CHANNELS = 128
 STREAM = 32
 BASELINE_SEC_PER_PAIR = 0.09
 
-# bf16 peak TFLOP/s per chip (public specs)
-_PEAKS = {"v4": 275e12, "v5 lite": 394e12, "v5e": 394e12, "v5p": 459e12,
+# bf16 peak TFLOP/s per chip (public specs). NOTE: rounds 1-4 listed v5e at
+# 394e12, which is its INT8 peak (TOPS) — the bf16 peak is 197e12 (the same
+# number the kernel roofline analysis in kernels/encoder_layer.py always
+# used). Every other row here is a bf16 figure, so historical v5e MFU
+# records (e.g. BENCH_r04's 19.54%) understate real MFU by exactly 2x.
+_PEAKS = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
           "v6 lite": 918e12, "v6e": 918e12}
 
 

@@ -84,6 +84,64 @@ def _make_kernel(k, kp, bn):
     return kernel
 
 
+def _make_union_kernel(k, kp):
+    def kernel(
+        vals_ref,  # (u, bs) f32: per-chunk winner values (union, transposed)
+        idxs_ref,  # (u, bs) f32: their global candidate indices
+        out_ref,  # (kp, bs) f32: global top-k indices (desc by value)
+    ):
+        f32 = jnp.float32
+        scores = vals_ref[:]
+        payload = idxs_ref[:]
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        for i in range(k):
+            am = jnp.argmax(scores, axis=0)  # (bs,) sublane-axis reduce
+            sel = rows == am[None, :]
+            # one-hot extraction: per-lane dynamic row reads don't vectorize
+            # on TPU, but a masked sublane sum does (payload indices are
+            # exact integers < 2^24, so the f32 sum is exact)
+            out_ref[i, :] = jnp.sum(jnp.where(sel, payload, f32(0.0)), axis=0)
+            scores = jnp.where(sel, f32(-3e38), scores)
+        for i in range(k, kp):
+            out_ref[i, :] = jnp.zeros((scores.shape[1],), f32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _union_select_single(vals, idxs, k, interpret=False):
+    """Global exact top-k over the per-chunk winner union, staying in the
+    kernel's transposed (candidates x seeds) layout.
+
+    Replaces the round-4 XLA second stage (exact_topk over [S, U] +
+    take_along_axis), which cost ~1.1 ms at S=2048/U=400 (sort-based
+    selection + two layout transposes); the union tile is tiny (U x 512
+    lanes fits VMEM whole), so k one-hot argmax passes cost ~0.1 ms.
+    Ties: argmax picks the lowest union row = chunk-major order, a
+    value-equivalent subset like exact_topk (same caveat as the chunk
+    kernel)."""
+    u, s = vals.shape
+    bs = min(512, s)
+    while s % bs:
+        bs //= 2
+    kp = -(-k // 8) * 8
+    out = pl.pallas_call(
+        _make_union_kernel(k, kp),
+        grid=(s // bs,),
+        in_specs=[
+            pl.BlockSpec((u, bs), lambda si: (0, si)),
+            pl.BlockSpec((u, bs), lambda si: (0, si)),
+        ],
+        out_specs=pl.BlockSpec((kp, bs), lambda si: (0, si)),
+        out_shape=jax.ShapeDtypeStruct((kp, s), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(vals, idxs)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "block_s", "block_n", "interpret")
 )
@@ -143,8 +201,6 @@ def seed_knn_exact(features, seeds, k, mask=None, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    from pointdsc_tpu.ops.knn import exact_topk
-
     b, n, c = features.shape
     if n >= 1 << 24:
         # winner indices ride through the kernel as f32 (integers are exact
@@ -168,12 +224,12 @@ def seed_knn_exact(features, seeds, k, mask=None, interpret=None):
         vals, idxs = _seed_knn_single(
             f, sf.T, sid, mcol, k, block_s=bs, interpret=interpret
         )
-        # union of per-chunk winners -> exact second stage, back in seed-
-        # row-major layout. Sublane padding rows hold -3e38, strictly below
-        # every real candidate (masked/self carry exactly -1e30), so they
-        # can never enter the top-k.
-        i2 = exact_topk(vals.T[:s], k)
-        return jnp.take_along_axis(idxs.T[:s], i2, axis=-1).astype(jnp.int32)
+        # union of per-chunk winners -> exact second stage, still in the
+        # transposed layout (see _union_select_single). Sublane padding
+        # rows hold -3e38, strictly below every real candidate (masked/self
+        # carry exactly -1e30), so they can never enter the top-k.
+        sel = _union_select_single(vals, idxs, k, interpret=interpret)
+        return sel[:k].T[:s].astype(jnp.int32)
 
     if mask is None:
         mcol = jnp.zeros((b, n, 128), jnp.float32)
