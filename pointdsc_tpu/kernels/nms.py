@@ -163,32 +163,52 @@ def pick_seeds_nms_prefiltered(src, scores, radius, max_num, mask=None,
         interpret = jax.default_backend() != "tpu"
     m = prefilter
     has_mask = mask is not None
-
-    def one(s, sc, msk):
-        sc_ranked = jnp.where(msk, sc, -jnp.inf) if has_mask else sc
-        vals_m, idx_m = jax.lax.top_k(sc_ranked, m)
-        tau_m = vals_m[-1]
-        sub = (jnp.take(s, idx_m, axis=0), jnp.take(sc, idx_m, axis=0),
-               jnp.take(msk, idx_m, axis=0))
-        geom = pack_nms_geometry(sub[0], sub[1], sub[2] if has_mask else None)
-        flags = _nms_local_max_single(geom, radius, interpret=interpret)
-        key_m = sub[1] * flags
-        if has_mask:
-            key_m = jnp.where(sub[2], key_m, -jnp.inf)
-        kvals, kidx = jax.lax.top_k(key_m, max_num)
-        certificate = kvals[-1] > jnp.maximum(tau_m, 0.0)
-        return jnp.take(idx_m, kidx), certificate
-
     msk = mask if has_mask else jnp.ones(scores.shape, bool)
-    pre_idx, certs = jax.vmap(one)(src, scores, msk)
 
-    # ONE scalar cond for the whole batch: a vmapped lax.cond lowers to a
-    # select that executes BOTH branches, which would run the full O(N^2)
-    # kernel on every call and make the prefilter a pure overhead. With the
-    # scalar predicate the fallback executes only when some batch element's
-    # certificate fails (then the whole batch pays the full kernel).
+    def topm(sc, mk):
+        sc_ranked = jnp.where(mk, sc, -jnp.inf) if has_mask else sc
+        return jax.lax.top_k(sc_ranked, m)
+
+    vals_m, idx_m = jax.vmap(topm)(scores, msk)
+
     def full_batch(_):
         return pick_seeds_nms_fused(src, scores, radius, max_num,
                                     mask=mask, interpret=interpret)
 
-    return jax.lax.cond(jnp.all(certs), lambda _: pre_idx, full_batch, None)
+    def prefiltered(_):
+        def one(s, sc, mk, vm, im):
+            tau_m = vm[-1]
+            sub = (jnp.take(s, im, axis=0), jnp.take(sc, im, axis=0),
+                   jnp.take(mk, im, axis=0))
+            geom = pack_nms_geometry(sub[0], sub[1],
+                                     sub[2] if has_mask else None)
+            flags = _nms_local_max_single(geom, radius, interpret=interpret)
+            key_m = sub[1] * flags
+            if has_mask:
+                key_m = jnp.where(sub[2], key_m, -jnp.inf)
+            kvals, kidx = jax.lax.top_k(key_m, max_num)
+            certificate = kvals[-1] > jnp.maximum(tau_m, 0.0)
+            return jnp.take(im, kidx), certificate
+
+        pre_idx, certs = jax.vmap(one)(src, scores, msk, vals_m, idx_m)
+
+        # ONE scalar cond for the whole batch: a vmapped lax.cond lowers to
+        # a select that executes BOTH branches, which would run the full
+        # O(N^2) kernel on every call and make the prefilter a pure
+        # overhead. With the scalar predicate the fallback executes only
+        # when some batch element's certificate fails (then the whole batch
+        # pays the full kernel).
+        return jax.lax.cond(jnp.all(certs), lambda _: pre_idx,
+                            full_batch, None)
+
+    # Positivity precheck: the certificate needs max_num STRICTLY POSITIVE
+    # selected keys (kvals[-1] > max(tau_M, 0) >= 0), and a key can only be
+    # positive where the raw score is, so it is implied that the max_num-th
+    # raw score in the top-M exceeds 0. When it does not (e.g. a model
+    # whose confidence logits are all negative: every suppressed point's
+    # key is +/-0.0 and outranks every raw score, a tie regime the subset
+    # provably cannot certify), skip the subset NMS + selection work and go
+    # straight to the exact full kernel. Pure skip -- the selected indices
+    # are identical either way.
+    precheck = jnp.all(vals_m[:, max_num - 1] > 0.0)
+    return jax.lax.cond(precheck, prefiltered, full_batch, None)

@@ -68,6 +68,22 @@ class TestFusedNMS:
             src, scores, 0.2, s, interpret=True))
         np.testing.assert_array_equal(pre, full)
 
+    def test_prefiltered_all_negative_scores(self, rng):
+        """All-negative confidence logits (e.g. an untrained model): every
+        suppressed point's key is +/-0.0 and outranks every raw score, a
+        tie regime the subset provably cannot certify. The positivity
+        precheck must route straight to the full kernel and the result
+        must equal the full-N selection exactly."""
+        n, s = 4096, 128
+        src = jnp.asarray(rng.uniform(-1, 1, (1, n, 3)).astype(np.float32))
+        scores = jnp.asarray(
+            rng.uniform(-1.0, -0.01, (1, n)).astype(np.float32))
+        pre = np.asarray(pick_seeds_nms_prefiltered(
+            src, scores, 0.2, s, prefilter=1024, interpret=True))
+        full = np.asarray(pick_seeds_nms_fused(
+            src, scores, 0.2, s, interpret=True))
+        np.testing.assert_array_equal(pre, full)
+
     def test_prefiltered_small_n_delegates(self, rng):
         n, s = 512, 16
         src = jnp.asarray(rng.uniform(-1, 1, (1, n, 3)).astype(np.float32))
