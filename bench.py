@@ -145,39 +145,64 @@ def _loop_measure(run, args, iters=16, iters_short=4, reps=5):
     }
 
 
-def bench_large_n(n_corr=12288, iters=16):
+def bench_large_n(n_corr=12288, iters=16, production=False):
     """Per-pair fused inference at KITTI/Redwood eval sizes, measured with
     an ON-DEVICE lax.fori_loop cycling 4 resident pairs (see _loop_measure
     for why: python-dispatch chains are tunnel-sensitive). Both the EXACT
     pipeline (fused seed-kNN kernel + exact NMS) and the approx_knn variant
     (recall 0.95) are measured; the headline is the exact one, per the
-    flagship policy above. Mirrors tools/bench_large_n.py."""
+    flagship policy above. Mirrors tools/bench_large_n.py.
+
+    production=True measures the KITTI production configuration instead
+    (exact variant only): trained synthetic-KITTI release weights, 50 m
+    scenes, tau=0.6 / sigma_d=1.2 (the overrides the reference applies at
+    evaluation/test_KITTI.py:166-170). This is the regime where confidence
+    logits are informative, so the NMS prefilter certificate passes and
+    the data-dependent fast paths run as a real KITTI eval would; the
+    default (init-weights) lines keep cross-round continuity and measure
+    the certificate-fallback worst case."""
     import jax
     import jax.numpy as jnp
 
     from pointdsc_tpu.data.synthetic import SyntheticPairDataset
     from pointdsc_tpu.models.pointdsc import PointDSC
 
+    ds_kw = dict(scene_scale=50.0, noise=0.05) if production else {}
     ds = SyntheticPairDataset(num_pairs=4, num_corr=n_corr, inlier_ratio=0.3,
-                              seed=3)
+                              seed=3, **ds_kw)
     stack = tuple(
         jnp.asarray(np.stack([ds[i][key] for i in range(4)]))
         for key in ("corr_pos", "src_keypts", "tgt_keypts")
     )
     s0 = SyntheticPairDataset(num_pairs=1, num_corr=1024, seed=0)[0]
 
+    model_kw = (
+        dict(inlier_threshold=0.6, sigma_d=1.2, nms_radius=1.2)
+        if production else {}
+    )
+    variants = (("exact", False),) if production else (
+        ("exact", False), ("approx", True))
     results = {}
-    for name, approx in (("exact", False), ("approx", True)):
+    for name, approx in variants:
         model = PointDSC(
             in_dim=6, num_layers=NUM_LAYERS, num_channels=NUM_CHANNELS, k=40,
-            ratio=0.1, approx_knn=approx,
+            ratio=0.1, approx_knn=approx, **model_kw,
         )
-        variables = model.init(
-            jax.random.key(0),
+        example = (
             jnp.asarray(s0["corr_pos"])[None],
             jnp.asarray(s0["src_keypts"])[None],
             jnp.asarray(s0["tgt_keypts"])[None],
         )
+        if production:
+            from pointdsc_tpu.train.trainer import load_model_weights
+
+            ckpt = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "snapshot/PointDSC_SyntheticKITTI_release/models/model_best.pkl",
+            )
+            variables = load_model_weights(model, ckpt, example)
+        else:
+            variables = model.init(jax.random.key(0), *example)
 
         @jax.jit
         def run(cp, s, t, n_iters, model=model, variables=variables):
@@ -399,6 +424,32 @@ def main():
                 }))
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"metric": metric, "error": str(e)[:200]}))
+        # production KITTI configuration: trained weights + in-regime data,
+        # the setting where the data-dependent fast paths (NMS prefilter
+        # certificate, refinement early-exit) behave as a real KITTI eval
+        try:
+            r = bench_large_n(12288, production=True)
+            ex = r["exact"]
+            print(json.dumps({
+                "metric": "pointdsc_e2e_pair_time_n12k_production",
+                "value": round(ex["per_iter"] * 1000, 3),
+                "unit": "ms",
+                "vs_baseline": None,
+                "variant": "fused_exact",
+                "weights": "PointDSC_SyntheticKITTI_release",
+                "rep_spread_ms": [round(t * 1000, 2) for t in ex["spread"]],
+                "device_time_crosscheck_ms": round(
+                    ex["device_diff"] * 1000, 3
+                ),
+                "note": "KITTI production config (trained weights, 50 m "
+                        "scenes, tau=0.6/sigma_d=1.2, ref "
+                        "test_KITTI.py:166-170); on-device fori_loop",
+            }))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "pointdsc_e2e_pair_time_n12k_production",
+                "error": str(e)[:200],
+            }))
         try:
             r, bs = bench_train_step()
             tstep = r["per_iter"]

@@ -300,6 +300,91 @@ def _build_compat_cache_single(geom, sigma_d, block_q=None, block_k=None,
     )(sig, geom, geom_cols)
 
 
+@functools.lru_cache(maxsize=32)
+def _triangle_tile_lists(nb):
+    """Static (numpy) tile-index lists for the symmetric builder: the
+    upper-triangular (incl. diagonal) compute tiles and the strictly-upper
+    mirror sources."""
+    import numpy as np
+
+    ut = np.array([(i, j) for i in range(nb) for j in range(i, nb)],
+                  dtype=np.int32)
+    su = np.array([(i, j) for i in range(nb) for j in range(i + 1, nb)],
+                  dtype=np.int32)
+    return ut, su
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _build_compat_cache_symmetric(geom, sigma_d, block=1024, interpret=False):
+    """Symmetric-square variant: compute only the upper triangle, mirror
+    the rest.
+
+    The compat matrix is exactly symmetric — every term of the gram-form
+    tile math commutes entrywise (the f32 adds/dots see the same summands
+    in the same order for (i, j) and (j, i)), so the mirrored bytes are
+    bitwise identical to computed ones (asserted vs the full-grid builder
+    on chip). Pass 1 runs the tile kernel over the B(B+1)/2 upper tiles via
+    a scalar-prefetched linear grid; pass 2 transpose-copies the strictly
+    upper tiles into the lower half through an input/output-aliased Pallas
+    call (in-place: source and destination blocks are disjoint halves).
+    Measured on v5e at block 1024: N=20480 2.88 -> 2.18 ms, N=12288
+    1.00 -> 0.76 ms vs the full-grid builder (the mirror is
+    HBM-bandwidth-bound; larger blocks OOM the default VMEM window for no
+    measured gain)."""
+    n = geom.shape[1]
+    b = block
+    nb = n // b
+    assert n % b == 0 and nb >= 2
+    ut, su = _triangle_tile_lists(nb)
+    qs_u, ks_u = jnp.asarray(ut[:, 0]), jnp.asarray(ut[:, 1])
+    qs_s, ks_s = jnp.asarray(su[:, 0]), jnp.asarray(su[:, 1])
+    sig = jnp.asarray(sigma_d, jnp.float32).reshape(1, 1)
+
+    def tri_kernel(qs_ref, ks_ref, sigma_ref, gq_ref, gk_ref, out_ref):
+        _compat_cache_kernel(sigma_ref, gq_ref, gk_ref, out_ref)
+
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        )
+    tri = pl.pallas_call(
+        tri_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(len(ut),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((16, b), lambda i, qs, ks: (0, qs[i])),
+                pl.BlockSpec((16, b), lambda i, qs, ks: (0, ks[i])),
+            ],
+            out_specs=pl.BlockSpec((b, b), lambda i, qs, ks: (qs[i], ks[i])),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
+        interpret=interpret,
+        **kw,
+    )(qs_u, ks_u, sig, geom, geom)
+
+    def mirror_kernel(qs_ref, ks_ref, in_ref, out_ref):
+        out_ref[:] = in_ref[:].T
+
+    return pl.pallas_call(
+        mirror_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(len(su),),
+            in_specs=[
+                pl.BlockSpec((b, b), lambda i, qs, ks: (qs[i], ks[i])),
+            ],
+            out_specs=pl.BlockSpec((b, b), lambda i, qs, ks: (ks[i], qs[i])),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        **kw,
+    )(qs_s, ks_s, tri)
+
+
 def build_compat_cache_int8(src, tgt, sigma_d, mask=None, interpret=None):
     """int8 spatial-consistency cache for the cached attention kernel.
 
@@ -310,13 +395,20 @@ def build_compat_cache_int8(src, tgt, sigma_d, mask=None, interpret=None):
     kernel's key bias handles invalid keys), so no masking is applied.
     Distances use the same gram-form math as the per-tile recompute
     variant; the 1/255 quantization dominates its ~1e-4 cancellation.
-    """
+    Square caches with N a multiple of 1024 take the symmetric
+    triangular+mirror path (bitwise-identical output, ~25% cheaper)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if mask is None:
         geom = jax.vmap(lambda s, t: pack_geometry(s, t, None))(src, tgt)
     else:
         geom = jax.vmap(pack_geometry)(src, tgt, mask)
+    n = src.shape[-2]
+    if n % 1024 == 0 and n // 1024 >= 2:
+        return jax.vmap(
+            lambda g: _build_compat_cache_symmetric(
+                g, sigma_d, interpret=interpret)
+        )(geom)
     return jax.vmap(
         lambda g: _build_compat_cache_single(g, sigma_d, interpret=interpret)
     )(geom)

@@ -132,3 +132,37 @@ class TestCompatCacheBuilder:
         diff = np.abs(kern - ref)
         assert diff.max() <= 1
         assert (diff > 0).mean() < 1e-2
+
+    def test_symmetric_path_matches_full_grid(self, rng):
+        """Square caches with N % 1024 == 0 take the triangular+mirror
+        path; it must be BITWISE identical to the full-grid builder (the
+        gram-form tile math commutes entrywise, so mirrored bytes equal
+        computed ones exactly)."""
+        from pointdsc_tpu.kernels.sc_attention import (
+            _build_compat_cache_single,
+            _build_compat_cache_symmetric,
+            build_compat_cache_int8,
+            pack_geometry,
+        )
+
+        n = 2048
+        src = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        tgt = src + jnp.asarray(
+            rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+        )
+        geom = pack_geometry(src, tgt, None)
+        full = np.asarray(
+            _build_compat_cache_single(geom, 0.10, interpret=True)
+        )
+        sym = np.asarray(
+            _build_compat_cache_symmetric(geom, 0.10, interpret=True)
+        )
+        np.testing.assert_array_equal(sym, full)
+        # and through the batched public entry point (vmap over the pair
+        # axis wraps the aliased mirror pass too)
+        batched = np.asarray(
+            build_compat_cache_int8(
+                src[None], tgt[None], 0.10, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(batched[0], full)
